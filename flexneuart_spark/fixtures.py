@@ -1,0 +1,85 @@
+"""Deterministic synthetic code corpus + query set (FIXTURES.md §1-2).
+
+Schema per BASELINE.json ``input_hint``:
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+
+Seeded numpy; no wall-clock, no external data. Zipfian head tokens
+(``def``, ``return``, ``{`` …) create the term skew the index builder's
+sharding/salting must handle.
+
+Primary retrieval key: ``doc_id = repo || ':' || path || '@' || commit``
+(DOCNO analogue — reference ``flexneuart/config.py:66``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+LANGS = ["python", "java", "c", "go", "js"]
+LANG_EXT = {"python": "py", "java": "java", "c": "c", "go": "go", "js": "js"}
+LANG_W = [0.35, 0.25, 0.15, 0.15, 0.10]
+
+_HEAD_TOKENS = [
+    "def", "return", "class", "{", "}", "(", ")", "=", "==", "if",
+    "else", "for", "while", "import", "from", "self", "int", "void",
+    "public", "static", "func", "var", "let", "const", "new", "null",
+    "true", "false", "try", "catch", "//", "#", "->", ";", ":",
+]
+
+
+def vocabulary(n_ids: int = 5000) -> list[str]:
+    return _HEAD_TOKENS + [f"v{i}" for i in range(n_ids)]
+
+
+def make_corpus(n_docs: int = 2000, seed: int = 42, n_ids: int = 5000) -> pd.DataFrame:
+    """Deterministic corpus; ~1 empty doc per 97 (edge case, cf.
+    LuceneIndexer.java:206-214 — empty docs are kept)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(vocabulary(n_ids), dtype=object)
+    # Zipf over the vocabulary: p(rank r) ∝ 1/(r+1)
+    ranks = np.arange(len(vocab), dtype=np.float64)
+    p = 1.0 / (ranks + 1.0)
+    p /= p.sum()
+
+    repos = np.array([f"org{i // 50}/repo{i % 50}" for i in range(n_docs)], dtype=object)
+    langs = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
+    lens = np.clip(np.rint(rng.lognormal(mean=4.0, sigma=1.0, size=n_docs)), 1, 2000).astype(int)
+    empty = (np.arange(n_docs) % 97) == 96
+    lens[empty] = 0
+
+    rows = []
+    for i in range(n_docs):
+        lang = LANGS[langs[i]]
+        path = f"src/d{i % 13}/f{i}.{LANG_EXT[lang]}"
+        repo = repos[i]
+        commit = hashlib.sha256(f"commit:{repo}:{path}".encode()).hexdigest()[:40]
+        toks = rng.choice(vocab, size=lens[i], p=p) if lens[i] else np.array([], dtype=object)
+        # arrange into lines of ~12 tokens (source-code-like)
+        parts = [" ".join(toks[j : j + 12]) for j in range(0, len(toks), 12)]
+        rows.append((repo, path, commit, lang, "\n".join(parts)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def make_queries(n_queries: int = 40, seed: int = 43, n_ids: int = 5000) -> pd.DataFrame:
+    """Query set mirroring QuestionFields.jsonl (flexneuart/io/queries.py:13-19):
+    1-8 tokens, mix of head/tail terms, ~10% OOV tokens, one empty query
+    (cf. LuceneCandidateProvider.java:125-126)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(vocabulary(n_ids), dtype=object)
+    ranks = np.arange(len(vocab), dtype=np.float64)
+    p = 1.0 / (ranks + 1.0)
+    p /= p.sum()
+    rows = []
+    for i in range(n_queries):
+        if i == n_queries - 1:
+            rows.append((f"q{i}", ""))
+            continue
+        qlen = int(rng.integers(1, 9))
+        toks = list(rng.choice(vocab, size=qlen, p=p))
+        if rng.random() < 0.10:
+            toks.append(f"oov{i}")
+        rows.append((f"q{i}", " ".join(toks)))
+    return pd.DataFrame(rows, columns=["query_id", "text"])

@@ -1,0 +1,350 @@
+"""Distributed inverted-index builder (Spark-first restatement of
+``LuceneIndexer.createLuceneIndex`` + ``ForwardIndex.createIndex`` —
+reference ``apps/LuceneIndexer.java:143-237``,
+``fwdindx/ForwardIndex.java:822-925``; SURVEY.md §3.1).
+
+Architecture (designed for 10^12-file corpora on a 1000-executor cluster):
+
+- **Document-sharded index.** ``shard = pmod(xxhash64(doc_id), num_shards)``.
+  Each shard is a self-contained mini-index (all terms for its doc subset).
+  This realizes the north rule's *explicit salting of skewed head terms*:
+  a term with df = 10^9 is automatically split into ``num_shards``
+  independent posting lists keyed (shard, term) — no single reducer ever
+  sees a whole head term. Query-time top-k then runs shard-parallel with a
+  bounded heap per shard and a tiny global merge (SURVEY.md §2.6 K1).
+- **Stage 1 — forward index** (reference §1.3): one tokenize pass
+  (vectorized Arrow/pandas UDF), per-doc sorted unique (terms, tfs) +
+  doc_len (TreeMap semantics, ``ForwardIndex.java:550-584``), per-shard
+  dense doc ordinals (row_number by doc_id within shard), sha256(content)
+  per-row invariant. Written once, partitioned by shard; stage 2 reads it
+  back instead of re-tokenizing.
+- **Stage 2 — inverted index**: explode fwd → (shard, term, ord, tf, dl),
+  ``groupBy(shard, term)`` (map-side partial aggregation; the shard key
+  bounds every group by the shard size), sort postings by ordinal, encode
+  delta-gap varint blocks + block-max metadata (codec.py).
+- **Finalize** (idempotent, recomputed from all shards every build):
+  global dictionary term→(term_id, df, idf) — the "merge partition-local
+  indexes into a global index" step; the only shuffle is (shard, term) →
+  term with ≤ num_shards rows per term — plus corpus stats
+  (docQty/totalWordQty/avgDocLen, ``ForwardIndex.java:350-353``).
+- **Lineage / checkpoint-resume**: one lineage row per completed shard
+  (counts, checksum, duration). A resumed build skips completed shards,
+  rewrites only missing ones (dynamic partition overwrite → idempotent),
+  and re-runs finalize, so df/avgdl are never double-counted.
+
+Word-id assignment: dense ids in ascending term order starting at 1
+(MIN_WORD_ID parity, ``ForwardIndex.java:111,880-887``; first-encounter
+order is irreproducible in a parallel build — SURVEY.md §2.4 A4 — and ids
+are join-key surrogates only, BM25 depends only on df/tf/len). Assignment
+is scalable: range-partition by term + per-partition offsets, no global
+single-partition window.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flexneuart_spark.config import DEFAULT_NUM_SHARDS, MAX_DOC_SIZE
+from flexneuart_spark.functions.tokenize import code_tokenize_pandas
+from flexneuart_spark.index.codec import encode_postings
+
+_BOW_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.LongType())),
+        T.StructField("doc_len", T.LongType()),
+    ]
+)
+
+_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("block_off", T.ArrayType(T.LongType())),
+        T.StructField("block_n", T.ArrayType(T.IntegerType())),
+        T.StructField("block_max_doc", T.ArrayType(T.LongType())),
+        T.StructField("block_max_tf", T.ArrayType(T.LongType())),
+        T.StructField("block_min_dl", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_bow_udf(tokenizer: str):
+    """Tokenize + per-doc BOW in one Arrow batch (SURVEY.md §2.4 A1).
+
+    Sorted-unique terms mirror the reference's TreeMap build
+    (``ForwardIndex.java:550-584``). Empty content → empty arrays, doc
+    kept (``LuceneIndexer.java:206-214``).
+    """
+
+    @F.pandas_udf(_BOW_SCHEMA)
+    def doc_bow(content: pd.Series) -> pd.DataFrame:
+        if tokenizer == "code":
+            tok = code_tokenize_pandas(content)
+        else:  # whitespace (T9): split on \s+, drop empties
+            tok = content.fillna("").str.split(r"\s+", regex=True).map(
+                lambda xs: [t for t in xs if t] if xs is not None else []
+            )
+        terms_out, tfs_out, len_out = [], [], []
+        for lst in tok:
+            if not lst:
+                terms_out.append([])
+                tfs_out.append([])
+                len_out.append(0)
+                continue
+            u, c = np.unique(np.asarray(lst, dtype=object), return_counts=True)
+            terms_out.append(u.tolist())
+            tfs_out.append(c.tolist())
+            len_out.append(int(c.sum()))
+        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "doc_len": len_out})
+
+    return doc_bow
+
+
+@F.pandas_udf(_ENC_SCHEMA)
+def _encode_udf(ords: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
+    rows = {k: [] for k in ("payload", "block_off", "block_n", "block_max_doc", "block_max_tf", "block_min_dl")}
+    for o, t, d in zip(ords, tfs, dls):
+        enc = encode_postings(np.asarray(o, dtype=np.int64), np.asarray(t, dtype=np.int64), np.asarray(d, dtype=np.int64))
+        rows["payload"].append(enc["payload"])
+        rows["block_off"].append(enc["block_off"])
+        rows["block_n"].append(enc["block_n"])
+        rows["block_max_doc"].append(enc["block_max_doc"])
+        rows["block_max_tf"].append(enc["block_max_tf"])
+        rows["block_min_dl"].append(enc["block_min_dl"])
+    return pd.DataFrame(rows)
+
+
+@dataclass
+class IndexTables:
+    """Handles to the index's storage layout (Parquet; Iceberg-shaped —
+    swap the reader/writer for ``format("iceberg")`` when the runtime has
+    the Iceberg jars; see store.py)."""
+
+    index_dir: str
+
+    @property
+    def fwd_dir(self) -> str:
+        return f"{self.index_dir}/fwd"
+
+    @property
+    def postings_dir(self) -> str:
+        return f"{self.index_dir}/postings"
+
+    @property
+    def dictionary_dir(self) -> str:
+        return f"{self.index_dir}/dictionary"
+
+    @property
+    def corpus_stats_dir(self) -> str:
+        return f"{self.index_dir}/corpus_stats"
+
+    @property
+    def lineage_dir(self) -> str:
+        return f"{self.index_dir}/lineage"
+
+    def fwd(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.fwd_dir)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.postings_dir)
+
+    def dictionary(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.dictionary_dir)
+
+    def corpus_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.corpus_stats_dir)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_dir)
+
+    def stats(self, spark: SparkSession) -> tuple[int, int, float]:
+        row = self.corpus_stats(spark).collect()[0]
+        return int(row.n_docs), int(row.total_tokens), float(row.avg_doc_len)
+
+
+def derive_doc_id(df: DataFrame) -> DataFrame:
+    """DOCNO analogue: ``repo:path@commit`` (FIXTURES.md §1), or an
+    existing ``doc_id`` column cast to string."""
+    if "doc_id" in df.columns:
+        return df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    return df.withColumn(
+        "doc_id", F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"), F.lit("@"), F.col("commit"))
+    )
+
+
+def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, num_parts: int = 32) -> DataFrame:
+    """Dense 1-based ids in ascending ``order_col`` order, scalably:
+    range-partition, count per partition (tiny collect), per-partition
+    row_number + offset. No single-partition global window."""
+    spark = df.sparkSession
+    t = (
+        df.repartitionByRange(num_parts, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in t.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(pd.DataFrame(offsets, columns=["_pid", "_off"]))
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = (
+        t.withColumn("_local", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+    # NOTE: `t` stays persisted until the caller's terminal write — the
+    # window + join re-read it, and _pid must not be recomputed under a
+    # different partitioning. Footprint is one row per distinct term.
+    return out
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    num_shards: int = DEFAULT_NUM_SHARDS,
+    tokenizer: str = "code",
+    text_col: str = "content",
+    resume: bool = False,
+    only_shards: list[int] | None = None,
+    max_doc_size: int = MAX_DOC_SIZE,
+) -> IndexTables:
+    """Build (or resume) the index. ``only_shards`` restricts the build to
+    a shard subset (simulates an interrupted build in tests); ``resume``
+    skips shards already recorded in the lineage table."""
+    tables = IndexTables(index_dir)
+    build_id = uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = derive_doc_id(corpus)
+    docs = docs.withColumn("shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_shards)).cast("int"))
+
+    done: set[int] = set()
+    if resume:
+        try:
+            done = {int(r.shard) for r in tables.lineage(spark).select("shard").distinct().collect()}
+        except Exception:
+            done = set()
+    todo = [s for s in range(num_shards) if s not in done]
+    if only_shards is not None:
+        todo = [s for s in todo if s in only_shards]
+    if not todo:
+        _finalize(spark, tables)
+        return tables
+    if len(todo) < num_shards:
+        docs = docs.filter(F.col("shard").isin(todo))
+
+    t0 = time.time()
+
+    # ---- Stage 1: forward index (tokenize once; A1 BOW; per-shard ordinals)
+    bow = _make_bow_udf(tokenizer)
+    fwd = (
+        docs.withColumn("_bow", bow(F.substring(F.col(text_col), 1, max_doc_size)))
+        .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+        .select(
+            "shard",
+            "doc_id",
+            F.col("_bow.terms").alias("terms"),
+            F.col("_bow.tfs").alias("tfs"),
+            F.col("_bow.doc_len").alias("doc_len"),
+            "content_sha256",
+        )
+        .withColumn(
+            "ord",
+            F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1,
+        )
+    )
+    (
+        fwd.repartition("shard")
+        .sortWithinPartitions("shard", "ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tables.fwd_dir)
+    )
+
+    # ---- Stage 2: inverted postings per (shard, term)
+    fwd_r = spark.read.parquet(tables.fwd_dir).filter(F.col("shard").isin(todo))
+    exploded = fwd_r.select(
+        "shard",
+        "ord",
+        "doc_len",
+        F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("p"),
+    ).select("shard", F.col("p.term").alias("term"), "ord", F.col("p.tf").alias("tf"), "doc_len")
+    plist = (
+        exploded.groupBy("shard", "term")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ord", "tf", "doc_len"))).alias("pl"),
+            F.count("*").alias("df_shard"),
+        )
+        .select(
+            "shard",
+            "term",
+            "df_shard",
+            _encode_udf(F.col("pl.ord"), F.col("pl.tf"), F.col("pl.doc_len")).alias("enc"),
+        )
+        .select("shard", "term", "df_shard", "enc.*")
+    )
+    (
+        plist.repartition("shard")
+        .sortWithinPartitions("shard", "term")  # row-group stats → term pushdown at query time
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tables.postings_dir)
+    )
+
+    # ---- Lineage: one row per completed shard (checkpoint-resume unit)
+    duration = time.time() - t0
+    lineage = (
+        spark.read.parquet(tables.fwd_dir)
+        .filter(F.col("shard").isin(todo))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_len").alias("total_tokens"),
+            F.sum(F.crc32(F.col("content_sha256"))).alias("checksum"),
+        )
+        .withColumn("build_id", F.lit(build_id))
+        .withColumn("duration_sec", F.lit(float(duration)))
+    )
+    lineage.write.mode("append").parquet(tables.lineage_dir)
+
+    _finalize(spark, tables)
+    return tables
+
+
+def _finalize(spark: SparkSession, tables: IndexTables) -> None:
+    """Idempotent global merge: dictionary (term_id, df, idf) + corpus
+    stats, recomputed from ALL shards — resume-safe (no double counting)."""
+    fwd = spark.read.parquet(tables.fwd_dir)
+    stats = fwd.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
+    ).withColumn(
+        "avg_doc_len",
+        F.when(F.col("n_docs") > 0, F.col("total_tokens") / F.col("n_docs")).otherwise(F.lit(1.0)),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(tables.corpus_stats_dir)
+    n_docs = spark.read.parquet(tables.corpus_stats_dir).collect()[0].n_docs
+
+    posts = spark.read.parquet(tables.postings_dir)
+    # global df merge: ≤ num_shards rows per term — skew-free by construction
+    dic = posts.groupBy("term").agg(F.sum("df_shard").alias("df"))
+    dic = assign_dense_ids(dic, "term", "term_id")
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (BM25SimilarityLucene.java:41-44)
+    dic = dic.withColumn(
+        "idf",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+    ).select("term", "term_id", "df", "idf")
+    dic.write.mode("overwrite").parquet(tables.dictionary_dir)

@@ -1,0 +1,92 @@
+"""Index-build correctness: per-row sha256 invariant (north rule), forward
+index BOW semantics, dictionary df / ids, corpus stats — all vs the numpy
+oracle ground truth."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flexneuart_spark.fixtures import make_corpus
+from flexneuart_spark.functions.tokenize import code_tokenize
+from flexneuart_spark.index.builder import build_index
+from flexneuart_spark.oracle import Bm25Oracle
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = make_corpus(n_docs=200, seed=42)
+    idx_dir = str(tmp_path_factory.mktemp("idx"))
+    sdf = spark.createDataFrame(corpus)
+    tables = build_index(spark, sdf, idx_dir, num_shards=8, tokenizer="code")
+    docs = [
+        (f"{r.repo}:{r.path}@{r.commit}", code_tokenize(r.content))
+        for r in corpus.itertuples(index=False)
+    ]
+    oracle = Bm25Oracle(docs)
+    return tables, corpus, oracle
+
+
+def test_sha256_invariant(spark, built):
+    tables, corpus, _ = built
+    got = {r.doc_id: r.content_sha256 for r in tables.fwd(spark).select("doc_id", "content_sha256").collect()}
+    assert len(got) == len(corpus)
+    for r in corpus.itertuples(index=False):
+        did = f"{r.repo}:{r.path}@{r.commit}"
+        assert got[did] == hashlib.sha256(r.content.encode()).hexdigest()
+
+
+def test_fwd_bow_matches_oracle(spark, built):
+    tables, _, oracle = built
+    rows = tables.fwd(spark).select("doc_id", "terms", "tfs", "doc_len").collect()
+    by_id = {r.doc_id: r for r in rows}
+    for did, tf_counter, dl in zip(oracle.doc_ids, oracle.tf, oracle.doc_len):
+        r = by_id[did]
+        assert r.doc_len == dl
+        # sorted-ascending unique terms (TreeMap parity, ForwardIndex.java:550-584)
+        assert list(r.terms) == sorted(tf_counter)
+        assert dict(zip(r.terms, r.tfs)) == dict(tf_counter)
+
+
+def test_ordinals_dense_per_shard(spark, built):
+    tables, _, _ = built
+    from pyspark.sql import functions as F
+
+    agg = tables.fwd(spark).groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("ord").alias("mn"), F.max("ord").alias("mx"),
+        F.countDistinct("ord").alias("nd"),
+    ).collect()
+    for r in agg:
+        assert r.mn == 0 and r.mx == r.n - 1 and r.nd == r.n
+
+
+def test_dictionary_matches_oracle(spark, built):
+    tables, _, oracle = built
+    rows = tables.dictionary(spark).collect()
+    got_df = {r.term: r.df for r in rows}
+    assert got_df == dict(oracle.df)
+    # dense ids 1..V in ascending term order (MIN_WORD_ID=1 parity)
+    by_term = sorted(rows, key=lambda r: r.term)
+    assert [r.term_id for r in by_term] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert abs(r.idf - oracle.idf(r.term)) < 1e-12
+
+
+def test_corpus_stats(spark, built):
+    tables, _, oracle = built
+    n_docs, total, avgdl = tables.stats(spark)
+    assert n_docs == oracle.n_docs
+    assert total == oracle.total_tokens
+    assert abs(avgdl - oracle.avg_doc_len) < 1e-12
+
+
+def test_postings_df_consistency(spark, built):
+    tables, _, oracle = built
+    from pyspark.sql import functions as F
+
+    got = {
+        r.term: r.s
+        for r in tables.postings(spark).groupBy("term").agg(F.sum("df_shard").alias("s")).collect()
+    }
+    assert got == dict(oracle.df)
