@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's closest machinery is set-overlap checking
+(``flexneuart/check_utils/utils.py:31-38`` token-Jaccard;
+``check_query_overlap.py`` / ``check_split_leak.py`` split-leak joins);
+these operators generalize it to corpus-scale dedup.
+
+Scale notes (100 TB posture):
+- exact dedup is a hash groupBy — one shuffle on a 16-byte key;
+- n-gram Jaccard generates candidates ONLY from shared shingles
+  (inverted-index-style self-join); optional ``max_shingle_df`` drops
+  ultra-common shingles before the join — the standard guard against the
+  quadratic blowup of head shingles (skew!) at a bounded recall cost;
+- MinHash+LSH replaces the pairwise join with band-bucket grouping:
+  candidate volume is O(collisions), independent of corpus size;
+- SimHash gives a constant-width signature; equal-signature grouping is
+  a single groupBy.
+
+All hash functions are md5-based so every operator has an exact DuckDB
+oracle (portable lexicographic min over hex strings instead of seeded
+integer hashing — determinism beats speed here; swap in xxhash64 for
+production speed, semantics are identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flexneuart_spark.functions.tokenize import whitespace_tokens_col
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, min_doc_id)."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    return (
+        h.groupBy("text_hash")
+        .agg(F.count("*").cast("long").alias("n_dups"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
+    tokens → transform over a sequence of offsets → concat_ws."""
+    toks = whitespace_tokens_col(text_col)
+    df = df.select(F.col(id_col), toks.alias("_toks"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+    )
+    return (
+        df.filter(F.size("_toks") >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def jaccard_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with n-gram-set Jaccard ≥ threshold.
+
+    Candidates come from the shared-shingle self-join; Jaccard is computed
+    over the FULL shingle sets (candidate generation never changes the
+    similarity value, only recall when ``max_shingle_df`` is set)."""
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    cand_sh = sh
+    if max_shingle_df is not None:
+        common = (
+            sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(F.col("sdf") > max_shingle_df)
+        )
+        cand_sh = sh.join(F.broadcast(common), "shingle", "left_anti")
+    a = cand_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = cand_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per doc: sig_j = min over shingles of
+    md5(j || ':' || shingle) — (id, hash_idx, minhash)."""
+    sh = shingles(df, text_col, id_col, n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
+    hashed = sh.select(F.col(id_col), "shingle", idx).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("hash_idx").cast("string"), F.col("shingle")))
+    )
+    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band (band_size consecutive
+    minhashes concatenated) — (id_a < id_b, n_bands_shared)."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band = sig.withColumn("band_idx", F.floor(F.col("hash_idx") / band_size).cast("int"))
+    bands = band.groupBy(id_col, "band_idx").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key")
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_bands_shared"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash over tf-weighted token hashes. Bit j of a token = the high
+    bit of hex char j of md5(token) (char >= '8') — portable to any SQL
+    engine; signature bit j = 1 iff Σ_tokens tf·(2b−1) > 0.
+
+    Returns (id, simhash) with simhash as a '0'/'1' string of ``bits``."""
+    assert bits <= 32
+    toks = whitespace_tokens_col(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit_idx")
+    per_bit = tf.select(F.col(id_col), "tf", "h", j).withColumn(
+        "contrib",
+        F.when(F.substring("h", F.col("bit_idx") + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), F.col("tf")).otherwise(-F.col("tf")),
+    )
+    bitvals = per_bit.groupBy(id_col, "bit_idx").agg(
+        F.when(F.sum("contrib") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    )
+    w_bits = F.sort_array(F.collect_list(F.struct("bit_idx", "bit")))
+    return bitvals.groupBy(id_col).agg(
+        F.concat_ws("", F.transform(w_bits, lambda s: s["bit"])).alias("simhash")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+
+    This is the exact O(n²) variant for modest n (entries/tests); the
+    scale path buckets by LSH first (similarity.lsh_buckets) and runs the
+    same cosine within buckets."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col), v.alias("v"))
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    e = e.withColumn("nrm", norm)
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

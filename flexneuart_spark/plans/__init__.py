@@ -1,1 +1,7 @@
-from flexneuart_spark.plans.entries import ORACLE_SQL, QUERIES_REG, flagship  # noqa: F401
+from flexneuart_spark.plans.entries import flagship  # noqa: F401
+from flexneuart_spark.plans import entries as _core
+from flexneuart_spark.plans import entries_ops as _ops
+
+QUERIES_REG = {**_core.QUERIES_REG, **_ops.OPS_QUERIES_REG}
+ORACLE_SQL = {**_core.ORACLE_SQL, **_ops.OPS_ORACLE_SQL}
+

