@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], measures indexing throughput at TWO parallelism
+levels (local[8] vs local[32] — the sandbox proxy for N vs 4N executors,
+per BASELINE.md) plus per-query p50 latency, prints ONE JSON line, and
+refreshes BENCH/BASELINE.md with the measured table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
+LOW_PAR, HIGH_PAR = 8, 32
+
+HEADLINE = [
+    "bm25_topk",
+    "bm25_topk_relational",
+    "bm25_topk_qnorm",
+    "term_dictionary",
+    "tfidf_cosine",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "text_quality",
+    "events_minutely",
+]
+
+
+def _spark(master: str, shuffle: int):
+    from flexneuart_spark.session import get_spark
+
+    spark = get_spark("bench", master=master, shuffle_partitions=shuffle)
+    # warm python workers / codegen so throughput excludes one-time startup
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _pu(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    spark.range(100000).repartition(64).select(F.sum(_pu(F.col("id")))).collect()
+    return spark
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    reg = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"  headline {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    return times
+
+
+def measure_indexing(spark, corpus_path: str, shards: int) -> float:
+    """Build the full index over the synthetic bench corpus; docs/sec."""
+    from flexneuart_spark.index.builder import build_index
+
+    best = 0.0
+    corpus = spark.read.parquet(corpus_path)
+    n = corpus.count()
+    for _ in range(REPS):  # best-of-N: the sandbox VM has noisy neighbours
+        idx = tempfile.mkdtemp(prefix="fxn_bench_idx_", dir=TMP)
+        try:
+            t0 = time.time()
+            build_index(spark, corpus, idx, num_shards=shards, tokenizer="code")
+            best = max(best, n / (time.time() - t0))
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    return best
+
+
+def measure_query_p50(spark, corpus_path: str, shards: int) -> tuple[float, str]:
+    """Per-query latency over the bench index (one search() per query —
+    the reference's per-query ms accounting, BaseQueryApp.java:705-724)."""
+    from flexneuart_spark.fixtures import make_queries
+    from flexneuart_spark.index.builder import build_index
+    from flexneuart_spark.search.engine import Searcher
+
+    idx = tempfile.mkdtemp(prefix="fxn_bench_qidx_", dir=TMP)
+    try:
+        corpus = spark.read.parquet(corpus_path)
+        build_index(spark, corpus, idx, num_shards=shards, tokenizer="code")
+        s = Searcher(spark, idx)
+        queries = [
+            (r.query_id, r.text)
+            for r in make_queries(21, seed=43).itertuples(index=False)
+            if r.text
+        ]
+        lat = []
+        for qid, text in queries:
+            t0 = time.time()
+            s.search([(qid, text)], k=10).count()
+            lat.append(time.time() - t0)
+        return statistics.median(lat), idx
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def main() -> None:
+    # ---- synthetic bench corpus (deterministic, written once) ----
+    from flexneuart_spark.fixtures import make_corpus
+
+    corpus_dir = tempfile.mkdtemp(prefix="fxn_bench_corpus_", dir=TMP)
+    corpus_path = f"{corpus_dir}/corpus.parquet"
+    pdf = make_corpus(SCALE_DOCS, seed=42)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), corpus_path, row_group_size=4096)
+    del pdf
+
+    results: dict = {}
+
+    # ---- scaling: same job at two parallelism levels ----
+    # constant shard count across parallelism levels — SAME job, only the
+    # executor-thread count changes (N vs 4N proxy)
+    shards = HIGH_PAR * 2
+    thr = {}
+    for par in (LOW_PAR, HIGH_PAR):
+        spark = _spark(f"local[{par}]", par)
+        thr[par] = measure_indexing(spark, corpus_path, shards=shards)
+        print(f"  indexing local[{par}]: {thr[par]:.0f} docs/s", file=sys.stderr)
+        spark.stop()
+    eff = (thr[HIGH_PAR] / thr[LOW_PAR]) / (HIGH_PAR / LOW_PAR)
+
+    # ---- headline queries + query latency at local[CPUS] ----
+    spark = _spark(f"local[{CPUS}]", CPUS)
+    t_suite0 = time.time()
+    qtimes = run_headline(spark)
+    suite_sec = round(time.time() - t_suite0, 3)
+    p50, _ = measure_query_p50(spark, corpus_path, shards=CPUS)
+    spark.stop()
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    results = {
+        "metric": "headline_suite_sec",
+        "value": suite_sec,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "indexing_docs_per_sec": {
+            f"local[{LOW_PAR}]": round(thr[LOW_PAR], 1),
+            f"local[{HIGH_PAR}]": round(thr[HIGH_PAR], 1),
+        },
+        "scaling_efficiency": round(eff, 3),
+        "bench_corpus_docs": SCALE_DOCS,
+        "query_p50_sec": round(p50, 4),
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured numbers (see BASELINE.md for targets)\n\n"
+            f"Bench corpus: {SCALE_DOCS} synthetic code docs (fixtures.make_corpus seed=42); "
+            f"headline queries at `{SF_DIR}`.\n\n"
+            "| Metric | Value | Config |\n|---|---|---|\n"
+            f"| Indexing throughput | {thr[LOW_PAR]:.0f} docs/s | local[{LOW_PAR}] (N proxy) |\n"
+            f"| Indexing throughput | {thr[HIGH_PAR]:.0f} docs/s | local[{HIGH_PAR}] (4N proxy) |\n"
+            f"| Scaling efficiency N→4N | {eff:.3f} | target ≥ 0.8 |\n"
+            f"| Query p50 latency (top-10) | {p50:.3f} s | local[{CPUS}], per-query search |\n"
+            f"| Headline suite total | {suite_sec:.1f} s | {len(qtimes)} queries at sf={results['sf']} |\n"
+        )
+        f.write("\nPer-query seconds:\n\n| query | sec |\n|---|---|\n")
+        for k, v in qtimes.items():
+            f.write(f"| {k} | {v} |\n")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""IR evaluation metrics (SURVEY.md §2.4 A8; reference
+``flexneuart/eval.py:84-190`` metric definitions, ``:349-404``
+``internal_eval`` join+mean shape, cutoffs ``:45``).
+
+All metrics are DataFrame aggregations over a (run ⨝ qrels) left join —
+per-query metric then un-weighted mean over queries, exactly the
+trec_eval-mimicking semantics the reference cross-checks to ≤2·10⁻⁴.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flexneuart_spark.config import EVAL_CUTOFFS
+
+
+def _joined(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    """run(query_id, doc_id, rank) ⨝ qrels(query_id, doc_id, grade)."""
+    return run.join(qrels, ["query_id", "doc_id"], "left").withColumn(
+        "grade", F.coalesce(F.col("grade"), F.lit(0))
+    )
+
+
+def precision_at(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    j = _joined(run, qrels).filter(F.col("rank") <= k)
+    per_q = j.groupBy("query_id").agg(
+        (F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)) / F.lit(float(k))).alias("p")
+    )
+    return per_q
+
+
+def reciprocal_rank(run: DataFrame, qrels: DataFrame, k: int = 1000) -> DataFrame:
+    j = _joined(run, qrels).filter(F.col("rank") <= k)
+    return j.groupBy("query_id").agg(
+        F.coalesce(F.max(F.when(F.col("grade") > 0, 1.0 / F.col("rank"))), F.lit(0.0)).alias("rr")
+    )
+
+
+def average_precision(run: DataFrame, qrels: DataFrame, k: int = 1000) -> DataFrame:
+    """MAP components: AP = Σ_rel P@rank(rel) / n_rel_total (trec_eval
+    denominator = total relevant in qrels, not retrieved)."""
+    from pyspark.sql import Window
+
+    n_rel = qrels.filter(F.col("grade") > 0).groupBy("query_id").agg(
+        F.count("*").alias("n_rel")
+    )
+    j = _joined(run, qrels).filter(F.col("rank") <= k)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    cum = j.withColumn("cum_rel", F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).over(w))
+    ap_num = cum.filter(F.col("grade") > 0).groupBy("query_id").agg(
+        F.sum(F.col("cum_rel") / F.col("rank")).alias("ap_num")
+    )
+    return (
+        n_rel.join(ap_num, "query_id", "left")
+        .withColumn("ap", F.coalesce(F.col("ap_num"), F.lit(0.0)) / F.col("n_rel"))
+        .select("query_id", "ap")
+    )
+
+
+def ndcg_at(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k with the (2^grade − 1)/log2(rank+1) gain used by trec_eval's
+    ndcg_cut when grades are binary reduces to 1/log2(rank+1)."""
+    from pyspark.sql import Window
+
+    j = _joined(run, qrels).filter(F.col("rank") <= k)
+    dcg = j.groupBy("query_id").agg(
+        F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(F.col("rank") + 1.0)).alias("dcg")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = (
+        qrels.filter(F.col("grade") > 0)
+        .withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(F.col("irank") + 1.0)).alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, "query_id", "left")
+        .withColumn("ndcg", F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(F.lit(0.0)))
+        .select("query_id", "ndcg")
+    )
+
+
+def evaluate(run: DataFrame, qrels: DataFrame, cutoffs=EVAL_CUTOFFS) -> dict[str, float]:
+    """Mean metrics over queries (internal_eval shape). Driver-friendly:
+    returns plain floats."""
+    out: dict[str, float] = {}
+    mrr = reciprocal_rank(run, qrels).agg(F.avg("rr")).collect()[0][0]
+    out["mrr"] = float(mrr or 0.0)
+    ap = average_precision(run, qrels).agg(F.avg("ap")).collect()[0][0]
+    out["map"] = float(ap or 0.0)
+    for k in cutoffs:
+        if k <= 20:
+            p = precision_at(run, qrels, k).agg(F.avg("p")).collect()[0][0]
+            out[f"p@{k}"] = float(p or 0.0)
+            nd = ndcg_at(run, qrels, k).agg(F.avg("ndcg")).collect()[0][0]
+            out[f"ndcg@{k}"] = float(nd or 0.0)
+    return out
+
+
+def ndcg_reference(grades_in_rank_order: list[int], k: int) -> float:
+    """Pure-Python oracle for tests."""
+    dcg = sum((2**g - 1) / math.log2(r + 2) for r, g in enumerate(grades_in_rank_order[:k]))
+    ideal = sorted(grades_in_rank_order, reverse=True)
+    # note: ideal over the full qrels set is what the DataFrame impl uses;
+    # tests construct qrels == retrieved grades so this matches
+    idcg = sum((2**g - 1) / math.log2(r + 2) for r, g in enumerate(ideal[:k]) if g > 0)
+    return dcg / idcg if idcg > 0 else 0.0

@@ -64,8 +64,11 @@ _BOW_SCHEMA = T.StructType(
     ]
 )
 
-_ENC_SCHEMA = T.StructType(
+_POSTINGS_SCHEMA = T.StructType(
     [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df_shard", T.LongType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("block_off", T.ArrayType(T.LongType())),
         T.StructField("block_n", T.ArrayType(T.IntegerType())),
@@ -108,11 +111,40 @@ def _make_bow_udf(tokenizer: str):
     return doc_bow
 
 
-@F.pandas_udf(_ENC_SCHEMA)
-def _encode_udf(ords: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
-    rows = {k: [] for k in ("payload", "block_off", "block_n", "block_max_doc", "block_max_tf", "block_min_dl")}
-    for o, t, d in zip(ords, tfs, dls):
-        enc = encode_postings(np.asarray(o, dtype=np.int64), np.asarray(t, dtype=np.int64), np.asarray(d, dtype=np.int64))
+def _shard_postings_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Build ALL posting lists of one shard in a single vectorized pass
+    (applyInPandas over groupBy(shard)).
+
+    This replaces the naive explode → groupBy(shard, term) →
+    sort_array(collect_list(...)) plan: the JVM would shuffle one row per
+    posting (~doc_len × docs rows); here the only shuffle is the compact
+    forward index (arrays per doc) and the explosion happens in numpy.
+    Per-term loop is over the shard's vocabulary only; everything else is
+    np.repeat / np.lexsort / vectorized varint.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame({f.name: [] for f in _POSTINGS_SCHEMA.fields})
+    shard = int(pdf["shard"].iloc[0])
+    reps = np.fromiter((len(t) for t in pdf["terms"]), dtype=np.int64, count=len(pdf))
+    nz = reps > 0
+    if not nz.any():
+        return pd.DataFrame({f.name: [] for f in _POSTINGS_SCHEMA.fields})
+    all_terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"][nz]])
+    all_tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"][nz]])
+    all_ords = np.repeat(pdf["ord"].to_numpy(np.int64), reps)
+    all_dls = np.repeat(pdf["doc_len"].to_numpy(np.int64), reps)
+    order = np.lexsort((all_ords, all_terms))
+    all_terms, all_tfs = all_terms[order], all_tfs[order]
+    all_ords, all_dls = all_ords[order], all_dls[order]
+    uniq, starts = np.unique(all_terms, return_index=True)
+    bounds = np.append(starts, len(all_terms))
+    rows = {f.name: [] for f in _POSTINGS_SCHEMA.fields}
+    for i, term in enumerate(uniq):
+        s, e = bounds[i], bounds[i + 1]
+        enc = encode_postings(all_ords[s:e], all_tfs[s:e], all_dls[s:e])
+        rows["shard"].append(shard)
+        rows["term"].append(term)
+        rows["df_shard"].append(enc["df"])
         rows["payload"].append(enc["payload"])
         rows["block_off"].append(enc["block_off"])
         rows["block_n"].append(enc["block_n"])
@@ -249,7 +281,12 @@ def build_index(
     t0 = time.time()
 
     # ---- Stage 1: forward index (tokenize once; A1 BOW; per-shard ordinals)
+    # Repartition by shard BEFORE the tokenize UDF: decouples CPU
+    # parallelism from the input file layout (a single giant input file
+    # must not serialize tokenization) and pre-aligns with the per-shard
+    # ordinal window so no second exchange is needed.
     bow = _make_bow_udf(tokenizer)
+    docs = docs.repartition(num_shards, "shard")
     fwd = (
         docs.withColumn("_bow", bow(F.substring(F.col(text_col), 1, max_doc_size)))
         .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
@@ -274,31 +311,13 @@ def build_index(
         .parquet(tables.fwd_dir)
     )
 
-    # ---- Stage 2: inverted postings per (shard, term)
+    # ---- Stage 2: inverted postings, one vectorized pass per shard
     fwd_r = spark.read.parquet(tables.fwd_dir).filter(F.col("shard").isin(todo))
-    exploded = fwd_r.select(
-        "shard",
-        "ord",
-        "doc_len",
-        F.explode(F.arrays_zip(F.col("terms").alias("term"), F.col("tfs").alias("tf"))).alias("p"),
-    ).select("shard", F.col("p.term").alias("term"), "ord", F.col("p.tf").alias("tf"), "doc_len")
-    plist = (
-        exploded.groupBy("shard", "term")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("ord", "tf", "doc_len"))).alias("pl"),
-            F.count("*").alias("df_shard"),
-        )
-        .select(
-            "shard",
-            "term",
-            "df_shard",
-            _encode_udf(F.col("pl.ord"), F.col("pl.tf"), F.col("pl.doc_len")).alias("enc"),
-        )
-        .select("shard", "term", "df_shard", "enc.*")
+    plist = fwd_r.select("shard", "ord", "doc_len", "terms", "tfs").groupBy("shard").applyInPandas(
+        _shard_postings_kernel, _POSTINGS_SCHEMA
     )
     (
-        plist.repartition("shard")
-        .sortWithinPartitions("shard", "term")  # row-group stats → term pushdown at query time
+        plist.sortWithinPartitions("shard", "term")  # row-group stats → term pushdown at query time
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(tables.postings_dir)
@@ -318,7 +337,16 @@ def build_index(
         .withColumn("build_id", F.lit(build_id))
         .withColumn("duration_sec", F.lit(float(duration)))
     )
-    lineage.write.mode("append").parquet(tables.lineage_dir)
+    # replace-by-shard semantics: a rebuilt shard's old lineage row must
+    # not survive (stats are derived from lineage — no double counting).
+    # The table is tiny (one row per shard) so collect+rewrite is safe.
+    try:
+        old = tables.lineage(spark).filter(~F.col("shard").isin(todo)).toPandas()
+    except Exception:
+        old = None
+    new = lineage.toPandas()
+    merged = pd.concat([old, new], ignore_index=True) if old is not None and len(old) else new
+    spark.createDataFrame(merged).coalesce(1).write.mode("overwrite").parquet(tables.lineage_dir)
 
     _finalize(spark, tables)
     return tables
@@ -326,11 +354,14 @@ def build_index(
 
 def _finalize(spark: SparkSession, tables: IndexTables) -> None:
     """Idempotent global merge: dictionary (term_id, df, idf) + corpus
-    stats, recomputed from ALL shards — resume-safe (no double counting)."""
-    fwd = spark.read.parquet(tables.fwd_dir)
-    stats = fwd.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
+    stats, recomputed from ALL shards — resume-safe (no double counting).
+
+    Corpus stats come from the lineage table (one row per completed
+    shard — exact, and avoids a full forward-index scan)."""
+    lin = spark.read.parquet(tables.lineage_dir)
+    stats = lin.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("total_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
     ).withColumn(
         "avg_doc_len",
         F.when(F.col("n_docs") > 0, F.col("total_tokens") / F.col("n_docs")).otherwise(F.lit(1.0)),

@@ -13,11 +13,18 @@ Physical plan:
   2. ``postings.filter(term IN query_vocab)`` — partition keys + parquet
      row-group stats (postings are written sorted by term within shard)
      prune the scan to the query's posting rows only;
-  3. ``groupBy(shard).applyInPandas`` → numpy MaxScore/block-max kernel
-     with a bounded heap per (shard, query) → ≤ k rows per shard·query;
+  3. ``groupBy(seg, shard).applyInPandas`` → numpy MaxScore/block-max
+     kernel with a bounded heap per (shard, query) → ≤ k rows per
+     seg·shard·query;
   4. label ordinals with doc_ids: broadcast-join the tiny result against
-     the forward index projected to (shard, ord, doc_id);
+     the forward index projected to (seg, shard, ord, doc_id);
   5. global top-k merge: window by query, (score desc, doc_id desc).
+
+``SegmentedSearcher`` searches a set of independently-built index
+segments (the incremental-ingest layout, flexneuart_spark.streaming):
+corpus stats and df are merged exactly across segments, so scores are
+identical to a single monolithic build — possible because posting
+payloads carry raw (tf, dl) and block metadata is avgdl-independent.
 """
 
 from __future__ import annotations
@@ -33,7 +40,67 @@ from flexneuart_spark.functions.tokenize import code_tokenize, whitespace_tokeni
 from flexneuart_spark.index.builder import IndexTables
 from flexneuart_spark.search.scoring import TermPostings, exhaustive_topk, maxscore_topk
 
-_SCORED_SCHEMA = "shard int, query_id string, ord long, score double"
+_SCORED_SCHEMA = "seg int, shard int, query_id string, ord long, score double"
+_EMPTY_RUN_SCHEMA = "query_id string, doc_id string, score double, rank int"
+
+
+def _search_frames(
+    spark: SparkSession,
+    posts: DataFrame,
+    fwd_ids: DataFrame,
+    idf: dict[str, float],
+    avgdl: float,
+    qtf: dict[str, dict[str, int]],
+    k: int,
+    k1: float,
+    b: float,
+    pruned: bool,
+) -> DataFrame:
+    """Core search over generic frames. ``posts`` must carry
+    (seg, shard, term, payload, block_*); ``fwd_ids`` (seg, shard, ord,
+    doc_id)."""
+    kernel = maxscore_topk if pruned else exhaustive_topk
+    qweights = {
+        qid: {t: c * idf[t] * (k1 + 1.0) for t, c in d.items() if t in idf}
+        for qid, d in qtf.items()
+    }
+    qweights = {qid: d for qid, d in qweights.items() if d}
+    if not qweights:
+        return spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        by_term = {row.term: row for row in pdf.itertuples(index=False)}
+        out_q, out_o, out_s = [], [], []
+        for qid, wts in qweights.items():
+            entries = [
+                TermPostings(
+                    r.payload, r.block_off, r.block_n,
+                    r.block_max_doc, r.block_max_tf, r.block_min_dl,
+                    w,
+                )
+                for t, w in wts.items()
+                if (r := by_term.get(t)) is not None
+            ]
+            if not entries:
+                continue
+            ords, scores = kernel(entries, k, avgdl, k1, b)
+            out_q.extend([qid] * len(ords))
+            out_o.extend(ords.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame(
+            {"seg": seg, "shard": shard, "query_id": out_q, "ord": out_o, "score": out_s}
+        )
+
+    scored = posts.groupBy("seg", "shard").applyInPandas(score_shard, _SCORED_SCHEMA)
+    labeled = fwd_ids.join(F.broadcast(scored), ["seg", "shard", "ord"], "inner")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
 
 
 class Searcher:
@@ -51,20 +118,18 @@ class Searcher:
         self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
         self.n_docs, self.total_tokens, self.avgdl = self.tables.stats(spark)
 
-    def search(self, queries: list[tuple[str, str]], k: int = 10, pruned: bool = True) -> DataFrame:
-        """queries: [(query_id, text)]. Returns DataFrame
-        (query_id, doc_id, score, rank) — the run, tie rule applied.
-
-        Empty queries (after tokenization) return no rows, matching the
-        reference's empty-query skip (LuceneCandidateProvider.java:125-126).
-        """
+    def _query_tf(self, queries: list[tuple[str, str]]) -> dict[str, dict[str, int]]:
         qtoks = {qid: self.tokenize(text) for qid, text in queries}
-        qtf = {qid: dict(Counter(toks)) for qid, toks in qtoks.items() if toks}
+        # empty queries drop out (LuceneCandidateProvider.java:125-126)
+        return {qid: dict(Counter(toks)) for qid, toks in qtoks.items() if toks}
+
+    def search(self, queries: list[tuple[str, str]], k: int = 10, pruned: bool = True) -> DataFrame:
+        """queries: [(query_id, text)] → run DataFrame
+        (query_id, doc_id, score, rank) under the reference tie rule."""
+        qtf = self._query_tf(queries)
         vocab = sorted({t for d in qtf.values() for t in d})
         if not vocab:
-            return self._empty_run()
-
-        # per-query dictionary slice (idf per term); OOV terms drop out here
+            return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
         dic = (
             self.tables.dictionary(self.spark)
             .filter(F.col("term").isin(vocab))
@@ -72,60 +137,76 @@ class Searcher:
             .collect()
         )
         idf = {r.term: float(r.idf) for r in dic}
-        live_vocab = [t for t in vocab if t in idf]
-        if not live_vocab:
-            return self._empty_run()
-
-        k1, b, avgdl = self.k1, self.b, self.avgdl
-        kernel = maxscore_topk if pruned else exhaustive_topk
-        qweights = {
-            qid: {t: c * idf[t] * (k1 + 1.0) for t, c in d.items() if t in idf}
-            for qid, d in qtf.items()
-        }
-        qweights = {qid: d for qid, d in qweights.items() if d}
-
-        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard"].iloc[0])
-            by_term = {}
-            for row in pdf.itertuples(index=False):
-                by_term[row.term] = row
-            out_q, out_o, out_s = [], [], []
-            for qid, wts in qweights.items():
-                entries = []
-                for t, w in wts.items():
-                    r = by_term.get(t)
-                    if r is None:
-                        continue
-                    entries.append(
-                        TermPostings(
-                            r.payload, r.block_off, r.block_n,
-                            r.block_max_doc, r.block_max_tf, r.block_min_dl,
-                            # weight folds qtf·idf·(k1+1); kernel multiplies tf_norm/(k1+1)
-                            w,
-                        )
-                    )
-                if not entries:
-                    continue
-                ords, scores = kernel(entries, k, avgdl, k1, b)
-                out_q.extend([qid] * len(ords))
-                out_o.extend(ords.tolist())
-                out_s.extend(scores.tolist())
-            return pd.DataFrame(
-                {"shard": shard, "query_id": out_q, "ord": out_o, "score": out_s}
-            )
-
-        posts = self.tables.postings(self.spark).filter(F.col("term").isin(live_vocab))
-        scored = posts.groupBy("shard").applyInPandas(score_shard, _SCORED_SCHEMA)
-
-        fwd_ids = self.tables.fwd(self.spark).select("shard", "ord", "doc_id")
-        labeled = fwd_ids.join(F.broadcast(scored), ["shard", "ord"], "inner")
-
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
-        return (
-            labeled.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank")
+        live = [t for t in vocab if t in idf]
+        if not live:
+            return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
+        posts = (
+            self.tables.postings(self.spark)
+            .filter(F.col("term").isin(live))
+            .withColumn("seg", F.lit(0))
+        )
+        fwd_ids = (
+            self.tables.fwd(self.spark)
+            .select("shard", "ord", "doc_id")
+            .withColumn("seg", F.lit(0))
+        )
+        return _search_frames(
+            self.spark, posts, fwd_ids, idf, self.avgdl, qtf, k, self.k1, self.b, pruned
         )
 
-    def _empty_run(self) -> DataFrame:
-        return self.spark.createDataFrame([], "query_id string, doc_id string, score double, rank int")
+
+class SegmentedSearcher:
+    """Search across N independently-built segments (incremental layout:
+    ``root/segments/<id>/`` each a full IndexTables). Global df/N/avgdl
+    are exact merges, so results are identical to a monolithic build."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        segment_dirs: list[str],
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        tokenizer: str = "code",
+    ):
+        if not segment_dirs:
+            raise ValueError("no segments")
+        self.spark = spark
+        self.tables = [IndexTables(p) for p in sorted(segment_dirs)]
+        self.k1, self.b = k1, b
+        self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
+        per = [t.stats(spark) for t in self.tables]
+        self.n_docs = sum(p[0] for p in per)
+        self.total_tokens = sum(p[1] for p in per)
+        self.avgdl = (self.total_tokens / self.n_docs) if self.n_docs else 1.0
+
+    def search(self, queries: list[tuple[str, str]], k: int = 10, pruned: bool = True) -> DataFrame:
+        import math
+
+        qtoks = {qid: self.tokenize(text) for qid, text in queries}
+        qtf = {qid: dict(Counter(toks)) for qid, toks in qtoks.items() if toks}
+        vocab = sorted({t for d in qtf.values() for t in d})
+        if not vocab:
+            return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
+        # exact global df merge across segments (tiny: |vocab| rows/segment)
+        df_glob: Counter = Counter()
+        for t in self.tables:
+            for r in (
+                t.dictionary(self.spark).filter(F.col("term").isin(vocab)).select("term", "df").collect()
+            ):
+                df_glob[r.term] += int(r.df)
+        if not df_glob:
+            return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
+        idf = {
+            t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)) for t, df in df_glob.items()
+        }
+        live = sorted(idf)
+        posts = None
+        fwd_ids = None
+        for i, t in enumerate(self.tables):
+            p = t.postings(self.spark).filter(F.col("term").isin(live)).withColumn("seg", F.lit(i))
+            f_ = t.fwd(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(i))
+            posts = p if posts is None else posts.unionByName(p)
+            fwd_ids = f_ if fwd_ids is None else fwd_ids.unionByName(f_)
+        return _search_frames(
+            self.spark, posts, fwd_ids, idf, self.avgdl, qtf, k, self.k1, self.b, pruned
+        )

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Local-mode shuffle/spill goes through spark.local.dir; the sandbox's
+    # root disk serializes it badly. Use tmpfs when available (a real
+    # cluster points this at executor-local NVMe instead).
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

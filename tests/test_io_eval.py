@@ -1,0 +1,90 @@
+"""TREC io round-trips (pattern of reference tests/test_io.py:15-30) and
+metric spot values on hand-computed rankings (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flexneuart_spark import eval as fx_eval
+from flexneuart_spark.io.trec import read_qrels, read_run, write_qrels, write_run
+
+RUN_ROWS = [
+    # query_id, doc_id, score — q1 has a score tie broken by doc_id desc
+    ("q1", "d1", 2.5),
+    ("q1", "d2", 3.0),
+    ("q1", "d3", 3.0),
+    ("q2", "d1", 1.0),
+]
+QREL_ROWS = [
+    ("q1", "d3", 2),
+    ("q1", "d9", 1),  # relevant but not retrieved
+    ("q2", "d1", 0),  # graded 0 = non-relevant
+]
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    return spark.createDataFrame(RUN_ROWS, ["query_id", "doc_id", "score"])
+
+
+@pytest.fixture(scope="module")
+def qrels(spark):
+    return spark.createDataFrame(QREL_ROWS, ["query_id", "doc_id", "grade"])
+
+
+def test_run_roundtrip_and_tie_rule(spark, run, tmp_path):
+    p = str(tmp_path / "run")
+    write_run(run, p, run_id="test_run")
+    back = read_run(spark, p)
+    rows = {(r.query_id, r.doc_id): (r.rank, r.score, r.run_id) for r in back.collect()}
+    # tie rule (score desc, doc_id desc): d3 before d2 at equal score
+    assert rows[("q1", "d3")][0] == 1
+    assert rows[("q1", "d2")][0] == 2
+    assert rows[("q1", "d1")][0] == 3
+    assert rows[("q2", "d1")] == (1, 1.0, "test_run")
+
+
+def test_qrels_roundtrip(spark, qrels, tmp_path):
+    p = str(tmp_path / "qrels")
+    write_qrels(qrels, p)
+    back = read_qrels(spark, p)
+    assert {tuple(r) for r in back.collect()} == set(QREL_ROWS)
+
+
+@pytest.fixture(scope="module")
+def ranked(spark, run):
+    from flexneuart_spark.io.trec import run_df_from_search
+
+    return run_df_from_search(run)
+
+
+def test_precision_and_mrr(spark, ranked, qrels):
+    # q1: ranks d3(rel),d2,d1 → P@2 = 1/2, RR = 1; q2: no rel → 0
+    p2 = {r.query_id: r.p for r in fx_eval.precision_at(ranked, qrels, 2).collect()}
+    assert p2["q1"] == pytest.approx(0.5) and p2["q2"] == 0.0
+    rr = {r.query_id: r.rr for r in fx_eval.reciprocal_rank(ranked, qrels).collect()}
+    assert rr["q1"] == 1.0 and rr["q2"] == 0.0
+
+
+def test_average_precision(spark, ranked, qrels):
+    # q1: rel retrieved at rank 1 of 2 total rel → AP = (1/1)/2 = 0.5
+    ap = {r.query_id: r.ap for r in fx_eval.average_precision(ranked, qrels).collect()}
+    assert ap["q1"] == pytest.approx(0.5)
+
+
+def test_ndcg(spark, ranked, qrels):
+    nd = {r.query_id: r.ndcg for r in fx_eval.ndcg_at(ranked, qrels, 3).collect()}
+    # q1: DCG = (2^2-1)/log2(2) = 3; IDCG = 3 + (2^1-1)/log2(3)
+    want = 3.0 / (3.0 + 1.0 / math.log2(3))
+    assert nd["q1"] == pytest.approx(want, rel=1e-9)
+
+
+def test_evaluate_means(spark, ranked, qrels):
+    m = fx_eval.evaluate(ranked, qrels, cutoffs=(5, 10))
+    assert m["mrr"] == pytest.approx(0.5)  # mean of (1, 0)
+    # trec_eval semantics: queries with zero relevant docs (q2) are
+    # excluded from the MAP mean → mean over {q1} = 0.5
+    assert m["map"] == pytest.approx(0.5)

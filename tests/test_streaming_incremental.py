@@ -1,0 +1,57 @@
+"""Incremental (Structured Streaming) ingest: segments built per
+micro-batch must search score-identically to one monolithic build."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flexneuart_spark.fixtures import make_corpus, make_queries
+from flexneuart_spark.index.builder import build_index
+from flexneuart_spark.search.engine import SegmentedSearcher, Searcher
+from flexneuart_spark.streaming.incremental import list_segments, start_incremental_index
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def test_streaming_segments_match_monolithic(spark, tmp_path):
+    corpus = make_corpus(n_docs=240, seed=42)
+    # two input files → maxFilesPerTrigger=1 → two micro-batches/segments
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(corpus.iloc[:120]), str(src / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(corpus.iloc[120:]), str(src / "b.parquet"))
+
+    root = str(tmp_path / "inc_idx")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = start_incremental_index(
+        spark, stream, root, str(tmp_path / "ckpt"), num_shards=4, tokenizer="code"
+    )
+    q.awaitTermination(300)
+    segs = list_segments(root)
+    assert len(segs) == 2, segs
+
+    mono_dir = str(tmp_path / "mono_idx")
+    mono = build_index(spark, spark.createDataFrame(corpus), mono_dir, num_shards=4)
+
+    seg_search = SegmentedSearcher(spark, segs)
+    mono_search = Searcher(spark, mono)
+    assert seg_search.n_docs == mono_search.n_docs == 240
+    assert seg_search.avgdl == pytest.approx(mono_search.avgdl, rel=1e-12)
+
+    queries = [(r.query_id, r.text) for r in make_queries(12, seed=43).itertuples(index=False)]
+    a = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in seg_search.search(queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in mono_search.search(queries, k=10).collect()
+    }
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], (key, a[key], b[key])
+        assert abs(a[key][1] - b[key][1]) < 1e-6
