@@ -303,9 +303,12 @@ def build_index(
             F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1,
         )
     )
+    # NOTE (measured): caching fwd across stages (persist MEMORY_AND_DISK)
+    # was tried and is SLOWER here — deserialized block cache + spill
+    # doubles memory churn. The columnar snappy round-trip through the fwd
+    # parquet wins; stage 2 re-reads only (shard, ord, doc_len, terms, tfs).
     (
-        fwd.repartition("shard")
-        .sortWithinPartitions("shard", "ord")
+        fwd.sortWithinPartitions("shard", "ord")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(tables.fwd_dir)
@@ -352,26 +355,46 @@ def build_index(
     return tables
 
 
+# Vocabularies up to this size take the collect→pandas finalize fast path
+# (3 Spark jobs fewer); larger ones use the fully-distributed id assignment.
+_SMALL_VOCAB = 2_000_000
+
+
 def _finalize(spark: SparkSession, tables: IndexTables) -> None:
     """Idempotent global merge: dictionary (term_id, df, idf) + corpus
     stats, recomputed from ALL shards — resume-safe (no double counting).
 
     Corpus stats come from the lineage table (one row per completed
     shard — exact, and avoids a full forward-index scan)."""
-    lin = spark.read.parquet(tables.lineage_dir)
-    stats = lin.agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("total_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
-    ).withColumn(
-        "avg_doc_len",
-        F.when(F.col("n_docs") > 0, F.col("total_tokens") / F.col("n_docs")).otherwise(F.lit(1.0)),
+    import math
+
+    lin = spark.read.parquet(tables.lineage_dir).select("n_docs", "total_tokens").toPandas()
+    n_docs = int(lin["n_docs"].sum())
+    total_tokens = int(lin["total_tokens"].sum())
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    stats_pdf = pd.DataFrame(
+        {"n_docs": [n_docs], "total_tokens": [total_tokens], "avg_doc_len": [float(avgdl)]}
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(tables.corpus_stats_dir)
-    n_docs = spark.read.parquet(tables.corpus_stats_dir).collect()[0].n_docs
+    spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(tables.corpus_stats_dir)
 
     posts = spark.read.parquet(tables.postings_dir)
     # global df merge: ≤ num_shards rows per term — skew-free by construction
     dic = posts.groupBy("term").agg(F.sum("df_shard").alias("df"))
+    head = dic.limit(_SMALL_VOCAB + 1).toPandas()
+    if len(head) == 0:
+        spark.createDataFrame([], "term string, term_id long, df long, idf double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tables.dictionary_dir)
+        return
+    if len(head) <= _SMALL_VOCAB:
+        # fast path: sort + dense ids + idf in pandas, one small write
+        head = head.sort_values("term", kind="mergesort").reset_index(drop=True)
+        head["term_id"] = np.arange(1, len(head) + 1, dtype=np.int64)
+        dfv = head["df"].to_numpy(np.float64)
+        head["idf"] = np.log(1.0 + (float(n_docs) - dfv + 0.5) / (dfv + 0.5))
+        out = spark.createDataFrame(head[["term", "term_id", "df", "idf"]])
+        out.coalesce(1).write.mode("overwrite").parquet(tables.dictionary_dir)
+        return
     dic = assign_dense_ids(dic, "term", "term_id")
     # idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (BM25SimilarityLucene.java:41-44)
     dic = dic.withColumn(

@@ -29,17 +29,15 @@ def tokens_df(df: DataFrame, text_col: str, id_col: str, tokenizer: str = "white
     return df.select(F.col(id_col).cast("string").alias(id_col), tok.alias("tokens"))
 
 
-def bm25_topk_relational(
+def bm25_score_relational(
     docs_tok: DataFrame,
     queries_tok: DataFrame,
-    k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
     doc_id_col: str = "doc_id",
 ) -> DataFrame:
-    """docs_tok: (doc_id, tokens); queries_tok: (query_id, tokens).
-    Returns (query_id, doc_id, score, rank), rank per the tie rule
-    (score desc, doc_id desc — ``flexneuart/io/runs.py:61-72``)."""
+    """All (query_id, doc_id, score) pairs with ≥1 matching term —
+    OR-of-terms BM25 without the top-k cut."""
     doc_stats = docs_tok.select(F.col(doc_id_col), F.size("tokens").alias("doc_len"))
     stats = doc_stats.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
@@ -69,11 +67,25 @@ def bm25_topk_relational(
     tf_norm = F.col("tf") * (F.lit(k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
     )
-    scored = (
+    return (
         matched.withColumn("partial", F.col("qtf") * idf * tf_norm)
         .groupBy("query_id", doc_id_col)
         .agg(F.sum("partial").alias("score"))
     )
+
+
+def bm25_topk_relational(
+    docs_tok: DataFrame,
+    queries_tok: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """docs_tok: (doc_id, tokens); queries_tok: (query_id, tokens).
+    Returns (query_id, doc_id, score, rank), rank per the tie rule
+    (score desc, doc_id desc — ``flexneuart/io/runs.py:61-72``)."""
+    scored = bm25_score_relational(docs_tok, queries_tok, k1, b, doc_id_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc(doc_id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -117,6 +117,23 @@ class Searcher:
         self.k1, self.b = k1, b
         self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
         self.n_docs, self.total_tokens, self.avgdl = self.tables.stats(spark)
+        self._fwd_ids = None
+        self._idf_cache: dict[str, float] | None = None
+
+    def warm(self, max_dict_terms: int = 2_000_000) -> "Searcher":
+        """Pin the (shard, ord, doc_id) projection in executor memory and,
+        when the dictionary is small enough, cache term→idf driver-side —
+        repeated searches then skip both per-query metadata jobs (the
+        reference holds its fwd index + idf cache in memory for the whole
+        batch too, TFIDFSimilarity.java:48-58)."""
+        self._fwd_ids = (
+            self.tables.fwd(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(0)).persist()
+        )
+        self._fwd_ids.count()
+        head = self.tables.dictionary(self.spark).select("term", "idf").limit(max_dict_terms + 1).collect()
+        if len(head) <= max_dict_terms:
+            self._idf_cache = {r.term: float(r.idf) for r in head}
+        return self
 
     def _query_tf(self, queries: list[tuple[str, str]]) -> dict[str, dict[str, int]]:
         qtoks = {qid: self.tokenize(text) for qid, text in queries}
@@ -130,13 +147,16 @@ class Searcher:
         vocab = sorted({t for d in qtf.values() for t in d})
         if not vocab:
             return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
-        dic = (
-            self.tables.dictionary(self.spark)
-            .filter(F.col("term").isin(vocab))
-            .select("term", "idf")
-            .collect()
-        )
-        idf = {r.term: float(r.idf) for r in dic}
+        if self._idf_cache is not None:
+            idf = {t: self._idf_cache[t] for t in vocab if t in self._idf_cache}
+        else:
+            dic = (
+                self.tables.dictionary(self.spark)
+                .filter(F.col("term").isin(vocab))
+                .select("term", "idf")
+                .collect()
+            )
+            idf = {r.term: float(r.idf) for r in dic}
         live = [t for t in vocab if t in idf]
         if not live:
             return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
@@ -145,7 +165,7 @@ class Searcher:
             .filter(F.col("term").isin(live))
             .withColumn("seg", F.lit(0))
         )
-        fwd_ids = (
+        fwd_ids = self._fwd_ids if self._fwd_ids is not None else (
             self.tables.fwd(self.spark)
             .select("shard", "ord", "doc_id")
             .withColumn("seg", F.lit(0))
