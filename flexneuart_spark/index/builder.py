@@ -56,13 +56,14 @@ from flexneuart_spark.config import DEFAULT_NUM_SHARDS, MAX_DOC_SIZE
 from flexneuart_spark.functions.tokenize import code_tokenize_pandas
 from flexneuart_spark.index.codec import encode_postings
 
-_BOW_SCHEMA = T.StructType(
-    [
-        T.StructField("terms", T.ArrayType(T.StringType())),
-        T.StructField("tfs", T.ArrayType(T.LongType())),
-        T.StructField("doc_len", T.LongType()),
-    ]
-)
+_BOW_FIELDS = [
+    T.StructField("terms", T.ArrayType(T.StringType())),
+    T.StructField("tfs", T.ArrayType(T.LongType())),
+    T.StructField("doc_len", T.LongType()),
+]
+_BOW_SCHEMA = T.StructType(_BOW_FIELDS)
+# positional variant (parsedText / mWordIdSeq mode, ForwardIndex.java:102-108)
+_BOW_SEQ_SCHEMA = T.StructType(_BOW_FIELDS + [T.StructField("term_seq", T.ArrayType(T.StringType()))])
 
 _POSTINGS_SCHEMA = T.StructType(
     [
@@ -79,15 +80,17 @@ _POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _make_bow_udf(tokenizer: str):
+def _make_bow_udf(tokenizer: str, with_seq: bool = False):
     """Tokenize + per-doc BOW in one Arrow batch (SURVEY.md §2.4 A1).
 
     Sorted-unique terms mirror the reference's TreeMap build
     (``ForwardIndex.java:550-584``). Empty content → empty arrays, doc
-    kept (``LuceneIndexer.java:206-214``).
-    """
+    kept (``LuceneIndexer.java:206-214``). ``with_seq`` additionally
+    emits the raw token sequence (positional mode)."""
 
-    @F.pandas_udf(_BOW_SCHEMA)
+    schema = _BOW_SEQ_SCHEMA if with_seq else _BOW_SCHEMA
+
+    @F.pandas_udf(schema)
     def doc_bow(content: pd.Series) -> pd.DataFrame:
         if tokenizer == "code":
             tok = code_tokenize_pandas(content)
@@ -106,7 +109,10 @@ def _make_bow_udf(tokenizer: str):
             terms_out.append(u.tolist())
             tfs_out.append(c.tolist())
             len_out.append(int(c.sum()))
-        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "doc_len": len_out})
+        out = {"terms": terms_out, "tfs": tfs_out, "doc_len": len_out}
+        if with_seq:
+            out["term_seq"] = [lst if lst else [] for lst in tok]
+        return pd.DataFrame(out)
 
     return doc_bow
 
@@ -252,6 +258,7 @@ def build_index(
     resume: bool = False,
     only_shards: list[int] | None = None,
     max_doc_size: int = MAX_DOC_SIZE,
+    store_positions: bool = False,
 ) -> IndexTables:
     """Build (or resume) the index. ``only_shards`` restricts the build to
     a shard subset (simulates an interrupted build in tests); ``resume``
@@ -285,19 +292,22 @@ def build_index(
     # parallelism from the input file layout (a single giant input file
     # must not serialize tokenization) and pre-aligns with the per-shard
     # ordinal window so no second exchange is needed.
-    bow = _make_bow_udf(tokenizer)
+    bow = _make_bow_udf(tokenizer, with_seq=store_positions)
     docs = docs.repartition(num_shards, "shard")
+    fwd_cols = [
+        "shard",
+        "doc_id",
+        F.col("_bow.terms").alias("terms"),
+        F.col("_bow.tfs").alias("tfs"),
+        F.col("_bow.doc_len").alias("doc_len"),
+        "content_sha256",
+    ]
+    if store_positions:
+        fwd_cols.append(F.col("_bow.term_seq").alias("term_seq"))
     fwd = (
         docs.withColumn("_bow", bow(F.substring(F.col(text_col), 1, max_doc_size)))
         .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
-        .select(
-            "shard",
-            "doc_id",
-            F.col("_bow.terms").alias("terms"),
-            F.col("_bow.tfs").alias("tfs"),
-            F.col("_bow.doc_len").alias("doc_len"),
-            "content_sha256",
-        )
+        .select(*fwd_cols)
         .withColumn(
             "ord",
             F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1,
