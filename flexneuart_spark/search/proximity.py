@@ -104,6 +104,52 @@ def close_pair_score(
     return score / norm_idf if norm_idf > 0 else 0.0
 
 
+def sdm_topk(
+    spark: SparkSession,
+    tables,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    w_unigram: float = 0.8,
+    w_ordered: float = 0.1,
+    w_unordered: float = 0.1,
+    query_window: int = 4,
+    doc_window: int = 8,
+    tokenizer: str = "code",
+) -> DataFrame:
+    """Sequential Dependence Model (SURVEY.md §2.8 C4,
+    ``simil_func/SDMSimilarityAnserini.java`` shape): weighted combination
+    of the unigram BM25 score and the ordered/unordered close-pair scores.
+    Each component reuses its individually-oracle-tested implementation;
+    missing components contribute 0 (outer join)."""
+    from flexneuart_spark.search.engine import Searcher
+
+    uni = Searcher(spark, tables, tokenizer=tokenizer).search(queries, k=max(k * 10, 100))
+    o = proximity_topk(spark, tables, queries, k=max(k * 10, 100), query_window=query_window,
+                       doc_window=doc_window, ordered=True, tokenizer=tokenizer)
+    u = proximity_topk(spark, tables, queries, k=max(k * 10, 100), query_window=query_window,
+                       doc_window=doc_window, ordered=False, tokenizer=tokenizer)
+    uni = uni.select("query_id", "doc_id", F.col("score").alias("s_uni"))
+    o = o.select("query_id", "doc_id", F.col("score").alias("s_ord"))
+    u = u.select("query_id", "doc_id", F.col("score").alias("s_unord"))
+    j = (
+        uni.join(o, ["query_id", "doc_id"], "full")
+        .join(u, ["query_id", "doc_id"], "full")
+        .fillna({"s_uni": 0.0, "s_ord": 0.0, "s_unord": 0.0})
+        .withColumn(
+            "score",
+            F.lit(w_unigram) * F.col("s_uni")
+            + F.lit(w_ordered) * F.col("s_ord")
+            + F.lit(w_unordered) * F.col("s_unord"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def proximity_topk(
     spark: SparkSession,
     tables,
