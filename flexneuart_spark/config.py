@@ -30,7 +30,10 @@ POSTING_BLOCK = 128
 # skew story: a head term's postings are automatically split across all
 # shards (explicit salting by doc hash), and query-time top-k runs
 # shard-parallel with a bounded heap per shard.
-DEFAULT_NUM_SHARDS = 32
+# Over-decompose relative to cores (~4x): shard→partition assignment is
+# hash-based, so many small shards smooth the per-partition load (no
+# straggler task owning 2-3 whole shards) — the standard tasks≫slots rule.
+DEFAULT_NUM_SHARDS = 128
 
 # Eval cutoffs mimicking trec_eval (reference: flexneuart/eval.py:45)
 EVAL_CUTOFFS = (5, 10, 15, 20, 30, 100, 200, 500, 1000)

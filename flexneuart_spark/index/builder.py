@@ -12,16 +12,23 @@ Architecture (designed for 10^12-file corpora on a 1000-executor cluster):
   independent posting lists keyed (shard, term) — no single reducer ever
   sees a whole head term. Query-time top-k then runs shard-parallel with a
   bounded heap per shard and a tiny global merge (SURVEY.md §2.6 K1).
-- **Stage 1 — forward index** (reference §1.3): one tokenize pass
-  (vectorized Arrow/pandas UDF), per-doc sorted unique (terms, tfs) +
-  doc_len (TreeMap semantics, ``ForwardIndex.java:550-584``), per-shard
-  dense doc ordinals (row_number by doc_id within shard), sha256(content)
-  per-row invariant. Written once, partitioned by shard; stage 2 reads it
-  back instead of re-tokenizing.
-- **Stage 2 — inverted index**: explode fwd → (shard, term, ord, tf, dl),
-  ``groupBy(shard, term)`` (map-side partial aggregation; the shard key
-  bounds every group by the shard size), sort postings by ordinal, encode
-  delta-gap varint blocks + block-max metadata (codec.py).
+- **Stage 1 — forward index** (reference §1.3, parsedText mode
+  ``ForwardIndex.java:102-108``): ONE pass over the corpus on its input
+  splits — tokenize (vectorized Arrow/pandas UDF), doc_len, per-row
+  sha256(content) invariant — written partitioned by shard. Deliberately
+  NO pre-tokenize repartition: shuffling raw ``content`` costs more than
+  every downstream step combined (measured ~3x on this corpus); the input
+  format's splits already bound task size, and the only data that ever
+  shuffles is the compact tokenized form.
+  The per-shard dense doc ordinal (``row_number`` over (shard, doc_id))
+  rides the same exchange + sort as the write — the DocEntryParsed
+  directory (shard, ord) ↔ doc_id is a pruned-column VIEW of this table,
+  not a second job.
+- **Stage 2 — inverted index**: ``groupBy(shard).applyInPandas`` over
+  (ord, tokens, doc_len); the kernel hash-factorizes the token stream
+  (O(n), no object-array sort), collapses (term, ord) pairs to tfs with
+  one int64 sort, and emits delta-gap varint blocks + block-max metadata
+  in one batch encode (codec.py).
 - **Finalize** (idempotent, recomputed from all shards every build):
   global dictionary term→(term_id, df, idf) — the "merge partition-local
   indexes into a global index" step; the only shuffle is (shard, term) →
@@ -54,16 +61,7 @@ from pyspark.sql import types as T
 
 from flexneuart_spark.config import DEFAULT_NUM_SHARDS, MAX_DOC_SIZE
 from flexneuart_spark.functions.tokenize import code_tokenize_pandas
-from flexneuart_spark.index.codec import encode_postings
-
-_BOW_FIELDS = [
-    T.StructField("terms", T.ArrayType(T.StringType())),
-    T.StructField("tfs", T.ArrayType(T.LongType())),
-    T.StructField("doc_len", T.LongType()),
-]
-_BOW_SCHEMA = T.StructType(_BOW_FIELDS)
-# positional variant (parsedText / mWordIdSeq mode, ForwardIndex.java:102-108)
-_BOW_SEQ_SCHEMA = T.StructType(_BOW_FIELDS + [T.StructField("term_seq", T.ArrayType(T.StringType()))])
+from flexneuart_spark.index.codec import encode_postings_batch
 
 _POSTINGS_SCHEMA = T.StructType(
     [
@@ -80,84 +78,89 @@ _POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _make_bow_udf(tokenizer: str, with_seq: bool = False):
-    """Tokenize + per-doc BOW in one Arrow batch (SURVEY.md §2.4 A1).
+def _tokens_udf(tokenizer: str):
+    """Vectorized tokenizer UDF → array<string> token sequence (the
+    reference's parsedText word-id sequence, ``ForwardIndex.java:102-108``;
+    tokenizer semantics in functions/tokenize.py). Empty/null content →
+    empty array, doc kept (``LuceneIndexer.java:206-214``)."""
 
-    Sorted-unique terms mirror the reference's TreeMap build
-    (``ForwardIndex.java:550-584``). Empty content → empty arrays, doc
-    kept (``LuceneIndexer.java:206-214``). ``with_seq`` additionally
-    emits the raw token sequence (positional mode)."""
-
-    schema = _BOW_SEQ_SCHEMA if with_seq else _BOW_SCHEMA
-
-    @F.pandas_udf(schema)
-    def doc_bow(content: pd.Series) -> pd.DataFrame:
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tok(content: pd.Series) -> pd.Series:
         if tokenizer == "code":
-            tok = code_tokenize_pandas(content)
+            out = code_tokenize_pandas(content)
         else:  # whitespace (T9): split on \s+, drop empties
-            tok = content.fillna("").str.split(r"\s+", regex=True).map(
+            out = content.fillna("").str.split(r"\s+", regex=True).map(
                 lambda xs: [t for t in xs if t] if xs is not None else []
             )
-        terms_out, tfs_out, len_out = [], [], []
-        for lst in tok:
-            if not lst:
-                terms_out.append([])
-                tfs_out.append([])
-                len_out.append(0)
-                continue
-            u, c = np.unique(np.asarray(lst, dtype=object), return_counts=True)
-            terms_out.append(u.tolist())
-            tfs_out.append(c.tolist())
-            len_out.append(int(c.sum()))
-        out = {"terms": terms_out, "tfs": tfs_out, "doc_len": len_out}
-        if with_seq:
-            out["term_seq"] = [lst if lst else [] for lst in tok]
-        return pd.DataFrame(out)
+        return out.map(lambda xs: xs if isinstance(xs, list) else [])
 
-    return doc_bow
+    return tok
 
 
 def _shard_postings_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Build ALL posting lists of one shard in a single vectorized pass
-    (applyInPandas over groupBy(shard)).
+    (applyInPandas over groupBy(shard); input: ord, tokens, doc_len).
 
-    This replaces the naive explode → groupBy(shard, term) →
-    sort_array(collect_list(...)) plan: the JVM would shuffle one row per
-    posting (~doc_len × docs rows); here the only shuffle is the compact
-    forward index (arrays per doc) and the explosion happens in numpy.
-    Per-term loop is over the shard's vocabulary only; everything else is
-    np.repeat / np.lexsort / vectorized varint.
-    """
+    The token stream never goes through an object-array sort:
+    ``pd.factorize`` (hash-based, O(n)) maps tokens to codes, the small
+    per-shard vocabulary is sorted once, and (term, ord) pairs collapse to
+    tfs via one int64 argsort + change-point detection. Ordinals come from
+    the fwd table (stage-1 window: rank of doc_id ascending per shard)."""
+    cols = {f.name: [] for f in _POSTINGS_SCHEMA.fields}
     if len(pdf) == 0:
-        return pd.DataFrame({f.name: [] for f in _POSTINGS_SCHEMA.fields})
+        return pd.DataFrame(cols)
     shard = int(pdf["shard"].iloc[0])
-    reps = np.fromiter((len(t) for t in pdf["terms"]), dtype=np.int64, count=len(pdf))
-    nz = reps > 0
-    if not nz.any():
-        return pd.DataFrame({f.name: [] for f in _POSTINGS_SCHEMA.fields})
-    all_terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"][nz]])
-    all_tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"][nz]])
-    all_ords = np.repeat(pdf["ord"].to_numpy(np.int64), reps)
-    all_dls = np.repeat(pdf["doc_len"].to_numpy(np.int64), reps)
-    order = np.lexsort((all_ords, all_terms))
-    all_terms, all_tfs = all_terms[order], all_tfs[order]
-    all_ords, all_dls = all_ords[order], all_dls[order]
-    uniq, starts = np.unique(all_terms, return_index=True)
-    bounds = np.append(starts, len(all_terms))
-    rows = {f.name: [] for f in _POSTINGS_SCHEMA.fields}
-    for i, term in enumerate(uniq):
-        s, e = bounds[i], bounds[i + 1]
-        enc = encode_postings(all_ords[s:e], all_tfs[s:e], all_dls[s:e])
-        rows["shard"].append(shard)
-        rows["term"].append(term)
-        rows["df_shard"].append(enc["df"])
-        rows["payload"].append(enc["payload"])
-        rows["block_off"].append(enc["block_off"])
-        rows["block_n"].append(enc["block_n"])
-        rows["block_max_doc"].append(enc["block_max_doc"])
-        rows["block_max_tf"].append(enc["block_max_tf"])
-        rows["block_min_dl"].append(enc["block_min_dl"])
-    return pd.DataFrame(rows)
+    toks = pdf["tokens"].to_numpy(dtype=object)
+    ords = pdf["ord"].to_numpy(dtype=np.int64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+    n_docs = len(toks)
+    reps = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+    if not (reps > 0).any():
+        return pd.DataFrame(cols)
+    all_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+    all_ords = np.repeat(ords, reps)
+    all_dls = np.repeat(dls, reps)
+
+    codes, uniq = pd.factorize(all_terms)  # O(n) hash; no string sort of the stream
+    uniq = np.asarray(uniq, dtype=object)
+    vorder = np.argsort(uniq)  # vocabulary-size string sort only
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[vorder] = np.arange(len(uniq), dtype=np.int64)
+    codes = rank[codes]
+    vocab = uniq[vorder]
+
+    # collapse (term_code, ord) → tf with one integer sort
+    m = np.int64(int(ords.max()) + 1)  # ord values are dense per shard
+    key = codes * m + all_ords
+    o2 = np.argsort(key)
+    ks = key[o2]
+    newpair = np.empty(len(ks), dtype=bool)
+    newpair[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=newpair[1:])
+    starts = np.flatnonzero(newpair)
+    tf = np.diff(np.append(starts, len(ks)))
+    gkey = ks[starts]
+    gcode = gkey // m
+    gord = gkey - gcode * m
+    gdl = all_dls[o2[starts]]
+
+    tb = np.flatnonzero(np.r_[True, gcode[1:] != gcode[:-1]])
+    tbounds = np.append(tb, len(gcode))
+    enc = encode_postings_batch(gord, tf, gdl, tbounds)
+    n_terms = len(tb)
+    return pd.DataFrame(
+        {
+            "shard": np.full(n_terms, shard, dtype=np.int32),
+            "term": vocab[gcode[tb]],
+            "df_shard": enc["df"],
+            "payload": enc["payload"],
+            "block_off": enc["block_off"],
+            "block_n": enc["block_n"],
+            "block_max_doc": enc["block_max_doc"],
+            "block_max_tf": enc["block_max_tf"],
+            "block_min_dl": enc["block_min_dl"],
+        }
+    )
 
 
 @dataclass
@@ -190,6 +193,11 @@ class IndexTables:
 
     def fwd(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.fwd_dir)
+
+    def docmap(self, spark: SparkSession) -> DataFrame:
+        """Doc-entry directory (shard, ord) ↔ (doc_id, doc_len, sha) — a
+        pruned-column view of the fwd table (token arrays never read)."""
+        return self.fwd(spark).select("shard", "ord", "doc_id", "doc_len", "content_sha256")
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.postings_dir)
@@ -258,14 +266,17 @@ def build_index(
     resume: bool = False,
     only_shards: list[int] | None = None,
     max_doc_size: int = MAX_DOC_SIZE,
-    store_positions: bool = False,
+    store_positions: bool = True,
 ) -> IndexTables:
     """Build (or resume) the index. ``only_shards`` restricts the build to
     a shard subset (simulates an interrupted build in tests); ``resume``
-    skips shards already recorded in the lineage table."""
+    skips shards already recorded in the lineage table.
+
+    The fwd table always stores the full token sequence (positional /
+    parsedText mode — proximity scoring needs no rebuild);
+    ``store_positions`` is accepted for API stability and ignored."""
     tables = IndexTables(index_dir)
     build_id = uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     docs = derive_doc_id(corpus)
     docs = docs.withColumn("shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_shards)).cast("int"))
@@ -282,61 +293,68 @@ def build_index(
     if not todo:
         _finalize(spark, tables)
         return tables
-    if len(todo) < num_shards:
+    partial = len(todo) < num_shards
+    if partial:
         docs = docs.filter(F.col("shard").isin(todo))
+    # dynamic mode only when overwriting a shard subset (resume); a full
+    # build uses the cheaper static overwrite (one commit, no per-partition
+    # staging moves).
+    ow_mode = "dynamic" if partial else "static"
 
     t0 = time.time()
 
-    # ---- Stage 1: forward index (tokenize once; A1 BOW; per-shard ordinals)
-    # Repartition by shard BEFORE the tokenize UDF: decouples CPU
-    # parallelism from the input file layout (a single giant input file
-    # must not serialize tokenization) and pre-aligns with the per-shard
-    # ordinal window so no second exchange is needed.
-    bow = _make_bow_udf(tokenizer, with_seq=store_positions)
-    docs = docs.repartition(num_shards, "shard")
-    fwd_cols = [
-        "shard",
-        "doc_id",
-        F.col("_bow.terms").alias("terms"),
-        F.col("_bow.tfs").alias("tfs"),
-        F.col("_bow.doc_len").alias("doc_len"),
-        "content_sha256",
-    ]
-    if store_positions:
-        fwd_cols.append(F.col("_bow.term_seq").alias("term_seq"))
+    # ---- Stage 1: forward index — tokenize on the input splits, no
+    # pre-shuffle of raw content (module docstring).
+    tok = _tokens_udf(tokenizer)
     fwd = (
-        docs.withColumn("_bow", bow(F.substring(F.col(text_col), 1, max_doc_size)))
+        docs.withColumn("tokens", tok(F.substring(F.col(text_col), 1, max_doc_size)))
+        .withColumn("doc_len", F.size("tokens").cast("long"))
         .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
-        .select(*fwd_cols)
+        .select("shard", "doc_id", "tokens", "doc_len", "content_sha256")
+    )
+    (
+        # repartition AFTER tokenizing (compact arrays, not raw content):
+        # one file per shard directory instead of tasks x shards small
+        # files — the job-commit rename pass is serial on the driver and
+        # dominates otherwise. The sort + window ride the SAME exchange
+        # (hash(shard) satisfies the window's distribution, the sort its
+        # ordering), so per-shard dense ordinals cost no extra shuffle or
+        # sort — and no separate doc-map job.
+        fwd.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
         .withColumn(
             "ord",
             F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1,
         )
-    )
-    # NOTE (measured): caching fwd across stages (persist MEMORY_AND_DISK)
-    # was tried and is SLOWER here — deserialized block cache + spill
-    # doubles memory churn. The columnar snappy round-trip through the fwd
-    # parquet wins; stage 2 re-reads only (shard, ord, doc_len, terms, tfs).
-    (
-        fwd.sortWithinPartitions("shard", "ord")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", ow_mode)
         .partitionBy("shard")
         .parquet(tables.fwd_dir)
     )
 
-    # ---- Stage 2: inverted postings, one vectorized pass per shard
+    # ---- Stage 2: inverted postings, one vectorized pass per shard.
+    # This groupBy is THE index-build shuffle: compact tokenized docs →
+    # shard-complete groups.
     fwd_r = spark.read.parquet(tables.fwd_dir).filter(F.col("shard").isin(todo))
-    plist = fwd_r.select("shard", "ord", "doc_len", "terms", "tfs").groupBy("shard").applyInPandas(
-        _shard_postings_kernel, _POSTINGS_SCHEMA
+    plist = (
+        fwd_r.select("shard", "ord", "doc_len", "tokens")
+        # exactly num_shards partitions (not spark.sql.shuffle.partitions):
+        # hash(shard) over 4x-cores shards balances; HashPartitioning
+        # satisfies the groupBy clustering so no second exchange appears.
+        .repartition(num_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_shard_postings_kernel, _POSTINGS_SCHEMA)
     )
     (
         plist.sortWithinPartitions("shard", "term")  # row-group stats → term pushdown at query time
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", ow_mode)
         .partitionBy("shard")
         .parquet(tables.postings_dir)
     )
 
-    # ---- Lineage: one row per completed shard (checkpoint-resume unit)
+    # ---- Lineage: one row per completed shard (checkpoint-resume unit);
+    # pruned-column read of the fwd table (token arrays never leave parquet).
     duration = time.time() - t0
     lineage = (
         spark.read.parquet(tables.fwd_dir)
@@ -376,8 +394,6 @@ def _finalize(spark: SparkSession, tables: IndexTables) -> None:
 
     Corpus stats come from the lineage table (one row per completed
     shard — exact, and avoids a full forward-index scan)."""
-    import math
-
     lin = spark.read.parquet(tables.lineage_dir).select("n_docs", "total_tokens").toPandas()
     n_docs = int(lin["n_docs"].sum())
     total_tokens = int(lin["total_tokens"].sum())

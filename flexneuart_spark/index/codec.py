@@ -141,6 +141,111 @@ def encode_postings(
     }
 
 
+def _varint_lens(a: np.ndarray) -> np.ndarray:
+    """Byte length of each value's varint encoding (vectorized)."""
+    a = np.asarray(a, dtype=np.uint64)
+    lens = np.ones(len(a), dtype=np.int64)
+    for k in range(1, _MAXB):
+        lens[a >= (np.uint64(1) << np.uint64(7 * k))] = k + 1
+    return lens
+
+
+def encode_postings_batch(
+    gord: np.ndarray,
+    gtf: np.ndarray,
+    gdl: np.ndarray,
+    term_bounds: np.ndarray,
+    block: int = POSTING_BLOCK,
+) -> dict:
+    """Encode MANY terms' postings in one vectorized pass.
+
+    Inputs are the concatenated per-term posting arrays (ords strictly
+    ascending within each term) and ``term_bounds`` — the start index of
+    each term's slice plus a trailing ``len(gord)`` (so term *i* owns
+    ``gord[term_bounds[i]:term_bounds[i+1]]``). Semantically identical to
+    calling :func:`encode_postings` per term (property-tested); one global
+    varint pass replaces ~10 numpy calls per term, which dominates when
+    most terms have short posting lists.
+
+    Returns dict of per-term lists: payload, block_off, block_n,
+    block_max_doc, block_max_tf, block_min_dl, df.
+    """
+    gord = np.asarray(gord, dtype=np.int64)
+    gtf = np.asarray(gtf, dtype=np.int64)
+    gdl = np.asarray(gdl, dtype=np.int64)
+    tb = np.asarray(term_bounds, dtype=np.int64)
+    n = len(gord)
+    n_terms = len(tb) - 1
+    if n == 0:
+        empty: dict = {k: [] for k in ("payload", "block_off", "block_n", "block_max_doc", "block_max_tf", "block_min_dl", "df")}
+        return empty
+
+    df = np.diff(tb)
+    # position of each posting within its term
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(tb[:-1], df)
+    # block index within term, and global block starts
+    blk_in_term = pos_in_term // block
+    is_blk_start = (pos_in_term % block) == 0
+    blk_starts = np.flatnonzero(is_blk_start)           # global index of each block's first posting
+    n_blocks_per_term = (df + block - 1) // block
+    blk_ends = np.append(blk_starts[1:], n)             # exclusive end of each block
+    # terms' first block index in the global block arrays
+    term_blk_bounds = np.concatenate(([0], np.cumsum(n_blocks_per_term)))
+
+    # delta-gap doc ids: first of each block absolute, rest deltas
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (gord[1:] - gord[:-1]).astype(np.uint64)
+    deltas[blk_starts] = gord[blk_starts].astype(np.uint64)
+
+    # interleaved value stream per block: deltas ++ tfs ++ dls
+    # build a permutation: for block b spanning [s,e): values
+    # deltas[s:e], tf[s:e], dl[s:e] — realized by sorting (block_id, section, pos)
+    blk_id = np.cumsum(is_blk_start) - 1                # global block id per posting
+    blk_len = blk_ends - blk_starts
+    # offset of each block's value stream start: 3*blk_start (each posting
+    # contributes 3 values: delta, tf, dl)
+    stream_start = 3 * blk_starts
+    base = stream_start[blk_id] + (np.arange(n, dtype=np.int64) - blk_starts[blk_id])
+    values = np.empty(3 * n, dtype=np.uint64)
+    idx0 = base
+    idx1 = base + blk_len[blk_id]
+    idx2 = base + 2 * blk_len[blk_id]
+    values[idx0] = deltas
+    values[idx1] = gtf.astype(np.uint64)
+    values[idx2] = gdl.astype(np.uint64)
+
+    payload_all = varint_encode(values)
+    vlens = _varint_lens(values)
+    vends = np.cumsum(vlens)
+    vstarts = vends - vlens
+
+    # byte offset where each block starts / ends in the global payload
+    blk_byte_start = vstarts[stream_start]
+    blk_byte_end = np.append(blk_byte_start[1:], vends[-1] if len(vends) else 0)
+    term_byte_start = blk_byte_start[term_blk_bounds[:-1]]
+
+    # per-block metadata via reduceat on posting slices
+    block_max_doc = gord[blk_ends - 1]
+    block_max_tf = np.maximum.reduceat(gtf, blk_starts)
+    block_min_dl = np.minimum.reduceat(gdl, blk_starts)
+
+    mv = memoryview(payload_all)
+    out: dict = {
+        "payload": [], "block_off": [], "block_n": [], "block_max_doc": [],
+        "block_max_tf": [], "block_min_dl": [], "df": df.tolist(),
+    }
+    rel_off = blk_byte_start - term_byte_start[np.repeat(np.arange(n_terms), n_blocks_per_term)]
+    for i in range(n_terms):
+        bs, be = term_blk_bounds[i], term_blk_bounds[i + 1]
+        out["payload"].append(bytes(mv[int(blk_byte_start[bs]): int(blk_byte_end[be - 1])]))
+        out["block_off"].append(rel_off[bs:be].tolist())
+        out["block_n"].append(blk_len[bs:be].astype(np.int32).tolist())
+        out["block_max_doc"].append(block_max_doc[bs:be].tolist())
+        out["block_max_tf"].append(block_max_tf[bs:be].tolist())
+        out["block_min_dl"].append(block_min_dl[bs:be].tolist())
+    return out
+
+
 def decode_block(payload: bytes, off: int, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block → (doc_ords int64, tfs int64, dls int64)."""
     deltas, end = varint_decode(payload, off, n)

@@ -17,7 +17,7 @@ Physical plan:
      kernel with a bounded heap per (shard, query) → ≤ k rows per
      seg·shard·query;
   4. label ordinals with doc_ids: broadcast-join the tiny result against
-     the forward index projected to (seg, shard, ord, doc_id);
+     the doc map (seg, shard, ord, doc_id);
   5. global top-k merge: window by query, (score desc, doc_id desc).
 
 ``SegmentedSearcher`` searches a set of independently-built index
@@ -127,7 +127,7 @@ class Searcher:
         reference holds its fwd index + idf cache in memory for the whole
         batch too, TFIDFSimilarity.java:48-58)."""
         self._fwd_ids = (
-            self.tables.fwd(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(0)).persist()
+            self.tables.docmap(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(0)).persist()
         )
         self._fwd_ids.count()
         head = self.tables.dictionary(self.spark).select("term", "idf").limit(max_dict_terms + 1).collect()
@@ -166,7 +166,7 @@ class Searcher:
             .withColumn("seg", F.lit(0))
         )
         fwd_ids = self._fwd_ids if self._fwd_ids is not None else (
-            self.tables.fwd(self.spark)
+            self.tables.docmap(self.spark)
             .select("shard", "ord", "doc_id")
             .withColumn("seg", F.lit(0))
         )
@@ -224,7 +224,7 @@ class SegmentedSearcher:
         fwd_ids = None
         for i, t in enumerate(self.tables):
             p = t.postings(self.spark).filter(F.col("term").isin(live)).withColumn("seg", F.lit(i))
-            f_ = t.fwd(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(i))
+            f_ = t.docmap(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(i))
             posts = p if posts is None else posts.unionByName(p)
             fwd_ids = f_ if fwd_ids is None else fwd_ids.unionByName(f_)
         return _search_frames(

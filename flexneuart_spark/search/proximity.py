@@ -15,8 +15,9 @@ Boytsov & Belova, TREC 2011):
   normalization with the doc's token length; normalized by Σ idf over the
   query's unique in-dictionary words.
 
-Requires a positional forward index (``build_index(store_positions=True)``
-— the reference's parsedText/mWordIdSeq mode, ``ForwardIndex.java:102-108``).
+The forward index always stores the token sequence (the reference's
+parsedText/mWordIdSeq mode, ``ForwardIndex.java:102-108``), so proximity
+scoring needs no special build flag.
 
 The kernel is numpy-vectorized: for each gap g < window, pair keys are
 formed by shifting the id array — no per-position Python.
@@ -190,15 +191,17 @@ def proximity_topk(
         return spark.createDataFrame([], "query_id string, doc_id string, score double, rank int")
 
     live = [t for t in vocab if t in term_to_id]
-    fwd = tables.fwd(spark)
-    if "term_seq" not in fwd.columns:
-        raise ValueError("positional index required: build_index(store_positions=True)")
+    # the fwd table always stores the token sequence (positional mode);
     # candidate docs: ≥2 distinct query terms present
+    fwd = tables.fwd(spark)
     cand = (
-        fwd.select("shard", "ord", "doc_id", "doc_len", "term_seq", "terms")
-        .withColumn("n_match", F.size(F.array_intersect("terms", F.array(*[F.lit(t) for t in live]))))
+        fwd.select("shard", "doc_id", "doc_len", "tokens")
+        .withColumn(
+            "n_match",
+            F.size(F.array_intersect(F.array_distinct("tokens"), F.array(*[F.lit(t) for t in live]))),
+        )
         .filter(F.col("n_match") >= 2)
-        .drop("terms", "n_match")
+        .drop("n_match")
     )
 
     qw, dw, ordd, K1, B = query_window, doc_window, ordered, k1, b
@@ -206,7 +209,7 @@ def proximity_topk(
     def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
         out_q, out_d, out_s = [], [], []
         for row in pdf.itertuples(index=False):
-            d_ids = np.array([term_to_id.get(t, -1) for t in row.term_seq], dtype=np.int64)
+            d_ids = np.array([term_to_id.get(t, -1) for t in row.tokens], dtype=np.int64)
             for qid, q_ids in q_idseqs.items():
                 s = close_pair_score(
                     q_ids, d_ids, int(row.doc_len), idf_by_id, avgdl, qw, dw, ordd, K1, B

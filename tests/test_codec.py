@@ -79,3 +79,37 @@ def test_block_metadata_bounds():
 def test_strictly_ascending_required():
     with pytest.raises(ValueError):
         encode_postings(np.array([3, 3]), np.array([1, 1]), np.array([1, 1]))
+
+
+def test_batch_encoder_equals_per_term():
+    """encode_postings_batch over many terms == encode_postings per term
+    (randomized: varied list lengths incl. >1 block, big ords/tfs/dls)."""
+    from flexneuart_spark.index.codec import encode_postings_batch
+
+    rng = np.random.default_rng(11)
+    gord, gtf, gdl, bounds = [], [], [], [0]
+    for df in [1, 2, 127, 128, 129, 300, 5, 1000, 64]:
+        o = np.sort(rng.choice(10_000_000, size=df, replace=False)).astype(np.int64)
+        gord.append(o)
+        gtf.append(rng.integers(1, 100_000, df).astype(np.int64))
+        gdl.append(rng.integers(1, 1_000_000, df).astype(np.int64))
+        bounds.append(bounds[-1] + df)
+    cat = lambda xs: np.concatenate(xs)
+    batch = encode_postings_batch(cat(gord), cat(gtf), cat(gdl), np.array(bounds))
+    for i in range(len(gord)):
+        ref = encode_postings(gord[i], gtf[i], gdl[i])
+        assert batch["payload"][i] == ref["payload"], i
+        assert list(batch["block_off"][i]) == list(ref["block_off"]), i
+        assert list(batch["block_n"][i]) == list(ref["block_n"]), i
+        assert list(batch["block_max_doc"][i]) == list(ref["block_max_doc"]), i
+        assert list(batch["block_max_tf"][i]) == list(ref["block_max_tf"]), i
+        assert list(batch["block_min_dl"][i]) == list(ref["block_min_dl"]), i
+        assert batch["df"][i] == ref["df"], i
+
+
+def test_batch_encoder_empty():
+    from flexneuart_spark.index.codec import encode_postings_batch
+
+    z = np.empty(0, dtype=np.int64)
+    out = encode_postings_batch(z, z, z, np.array([0]))
+    assert out["payload"] == []

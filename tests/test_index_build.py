@@ -38,22 +38,24 @@ def test_sha256_invariant(spark, built):
 
 
 def test_fwd_bow_matches_oracle(spark, built):
+    from collections import Counter
+
     tables, _, oracle = built
-    rows = tables.fwd(spark).select("doc_id", "terms", "tfs", "doc_len").collect()
+    rows = tables.fwd(spark).select("doc_id", "tokens", "doc_len").collect()
     by_id = {r.doc_id: r for r in rows}
     for did, tf_counter, dl in zip(oracle.doc_ids, oracle.tf, oracle.doc_len):
         r = by_id[did]
-        assert r.doc_len == dl
-        # sorted-ascending unique terms (TreeMap parity, ForwardIndex.java:550-584)
-        assert list(r.terms) == sorted(tf_counter)
-        assert dict(zip(r.terms, r.tfs)) == dict(tf_counter)
+        assert r.doc_len == dl == len(r.tokens)
+        # token sequence carries exactly the oracle's BOW (the sorted-unique
+        # view of ForwardIndex.java:550-584 is derived, not stored)
+        assert Counter(r.tokens) == Counter(dict(tf_counter))
 
 
 def test_ordinals_dense_per_shard(spark, built):
     tables, _, _ = built
     from pyspark.sql import functions as F
 
-    agg = tables.fwd(spark).groupBy("shard").agg(
+    agg = tables.docmap(spark).groupBy("shard").agg(
         F.count("*").alias("n"), F.min("ord").alias("mn"), F.max("ord").alias("mx"),
         F.countDistinct("ord").alias("nd"),
     ).collect()

@@ -86,9 +86,11 @@ def test_proximity_matches_naive_oracle(spark, setup, ordered):
             assert abs(gs - ws) < 1e-9 * max(1.0, abs(ws))
 
 
-def test_positional_index_required(spark, setup, tmp_path_factory):
+def test_default_build_is_positional(spark, setup, tmp_path_factory):
+    """The fwd table always stores the token sequence (parsedText mode) —
+    proximity scoring works on a default build with no special flag."""
     corpus = make_corpus(n_docs=50, seed=42)
     idx = str(tmp_path_factory.mktemp("noprox_idx"))
     t = build_index(spark, spark.createDataFrame(corpus), idx, num_shards=2)
-    with pytest.raises(ValueError, match="positional"):
-        proximity_topk(spark, t, [("q", "def return")], k=5)
+    run = proximity_topk(spark, t, [("q", "def return")], k=5).collect()
+    assert len(run) > 0
