@@ -83,3 +83,45 @@ def make_queries(n_queries: int = 40, seed: int = 43, n_ids: int = 5000) -> pd.D
             toks.append(f"oov{i}")
         rows.append((f"q{i}", " ".join(toks)))
     return pd.DataFrame(rows, columns=["query_id", "text"])
+
+
+def make_corpus_scaled(
+    n_docs: int = 80_000,
+    seed: int = 42,
+    n_ids: int = 30_000,
+    mean_log: float = 6.1,
+    sigma: float = 0.85,
+    max_len: int = 8_000,
+) -> pd.DataFrame:
+    """Benchmark corpus with REALISTIC source-file sizes (median ~450
+    tokens ≈ a few hundred lines; ``make_corpus``'s lognormal(4,1) median
+    of ~55 tokens is right for unit tests but makes per-document fixed
+    costs dominate a throughput benchmark). Fully vectorized generation —
+    one global token draw + per-doc splits — so corpus synthesis doesn't
+    dwarf the measured build at bench scale. Deterministic (seeded numpy,
+    no wall clock); same schema/doc-id scheme as :func:`make_corpus`."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(vocabulary(n_ids), dtype=object)
+    ranks = np.arange(len(vocab), dtype=np.float64)
+    p = 1.0 / (ranks + 1.0)
+    p /= p.sum()
+
+    lens = np.clip(np.rint(rng.lognormal(mean=mean_log, sigma=sigma, size=n_docs)), 1, max_len).astype(int)
+    lens[(np.arange(n_docs) % 97) == 96] = 0  # keep the empty-doc edge case
+    total = int(lens.sum())
+    # one draw for the whole corpus (alias/cumsearch once), then split
+    all_toks = rng.choice(vocab, size=total, p=p)
+    bounds = np.cumsum(lens)[:-1]
+    docs_toks = np.split(all_toks, bounds)
+
+    langs = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
+    rows = []
+    for i in range(n_docs):
+        lang = LANGS[langs[i]]
+        repo = f"org{(i // 50) % 200}/repo{i % 50}"
+        path = f"src/d{i % 13}/f{i}.{LANG_EXT[lang]}"
+        commit = hashlib.sha256(f"commit:{repo}:{path}".encode()).hexdigest()[:40]
+        toks = docs_toks[i]
+        parts = [" ".join(toks[j : j + 12]) for j in range(0, len(toks), 12)]
+        rows.append((repo, path, commit, lang, "\n".join(parts)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])

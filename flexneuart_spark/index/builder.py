@@ -106,7 +106,12 @@ def _shard_postings_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     per-shard vocabulary is sorted once, and (term, ord) pairs collapse to
     tfs via one int64 argsort + change-point detection. Ordinals come from
     the fwd table (stage-1 window: rank of doc_id ascending per shard)."""
-    cols = {f.name: [] for f in _POSTINGS_SCHEMA.fields}
+    # typed empty frame (a bare {name: []} defaults to float64 columns,
+    # which Arrow refuses to cast to the list-typed schema fields)
+    cols = {
+        f.name: pd.Series(dtype="int32" if f.name == "shard" else "int64" if f.name == "df_shard" else object)
+        for f in _POSTINGS_SCHEMA.fields
+    }
     if len(pdf) == 0:
         return pd.DataFrame(cols)
     shard = int(pdf["shard"].iloc[0])
@@ -377,7 +382,10 @@ def build_index(
         old = None
     new = lineage.toPandas()
     merged = pd.concat([old, new], ignore_index=True) if old is not None and len(old) else new
-    spark.createDataFrame(merged).coalesce(1).write.mode("overwrite").parquet(tables.lineage_dir)
+    _write_control_table(
+        spark, merged, tables.lineage_dir,
+        "shard int, n_docs long, total_tokens long, checksum long, build_id string, duration_sec double",
+    )
 
     _finalize(spark, tables)
     return tables
@@ -386,6 +394,31 @@ def build_index(
 # Vocabularies up to this size take the collect→pandas finalize fast path
 # (3 Spark jobs fewer); larger ones use the fully-distributed id assignment.
 _SMALL_VOCAB = 2_000_000
+
+
+def _write_control_table(spark: SparkSession, pdf: pd.DataFrame, path: str, schema: str) -> None:
+    """Write a driver-small control table (lineage / corpus stats / small
+    dictionary — O(shards) to O(vocab) rows) as parquet WITHOUT a Spark
+    job: the job-launch + commit round trip costs more than the data.
+    Falls back to a Spark write when the path isn't driver-writable local
+    storage (e.g. an object store on a real cluster)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{p}/part-00000.parquet")
+        with open(f"{p}/_SUCCESS", "w"):
+            pass
+    except OSError:
+        df = spark.createDataFrame(pdf, schema=schema) if len(pdf) == 0 else spark.createDataFrame(pdf)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def _finalize(spark: SparkSession, tables: IndexTables) -> None:
@@ -401,7 +434,9 @@ def _finalize(spark: SparkSession, tables: IndexTables) -> None:
     stats_pdf = pd.DataFrame(
         {"n_docs": [n_docs], "total_tokens": [total_tokens], "avg_doc_len": [float(avgdl)]}
     )
-    spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(tables.corpus_stats_dir)
+    _write_control_table(
+        spark, stats_pdf, tables.corpus_stats_dir, "n_docs long, total_tokens long, avg_doc_len double"
+    )
 
     posts = spark.read.parquet(tables.postings_dir)
     # global df merge: ≤ num_shards rows per term — skew-free by construction
@@ -418,8 +453,10 @@ def _finalize(spark: SparkSession, tables: IndexTables) -> None:
         head["term_id"] = np.arange(1, len(head) + 1, dtype=np.int64)
         dfv = head["df"].to_numpy(np.float64)
         head["idf"] = np.log(1.0 + (float(n_docs) - dfv + 0.5) / (dfv + 0.5))
-        out = spark.createDataFrame(head[["term", "term_id", "df", "idf"]])
-        out.coalesce(1).write.mode("overwrite").parquet(tables.dictionary_dir)
+        _write_control_table(
+            spark, head[["term", "term_id", "df", "idf"]], tables.dictionary_dir,
+            "term string, term_id long, df long, idf double",
+        )
         return
     dic = assign_dense_ids(dic, "term", "term_id")
     # idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (BM25SimilarityLucene.java:41-44)
