@@ -2,9 +2,15 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], measures indexing throughput at TWO parallelism
-levels (local[8] vs local[32] — the sandbox proxy for N vs 4N executors,
+levels (local[4] vs local[16] — the sandbox proxy for N vs 4N executors,
 per BASELINE.md) plus per-query p50 latency, prints ONE JSON line, and
 refreshes BENCH/BASELINE.md with the measured table.
+
+The indexing corpus uses realistic source-file sizes
+(fixtures.make_corpus_scaled: median ~450 tokens/doc ≈ a few hundred
+lines) — with unit-test-sized ~60-token docs the per-build fixed costs
+(job launch, commit, planning: ~4-5 s regardless of cores) dominate and
+the measurement reflects driver overhead, not the engine.
 """
 
 from __future__ import annotations
@@ -23,10 +29,13 @@ import pandas as pd  # noqa: E402  (module scope: pandas_udf type hints)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))  # first 2-3 reps
+# of a session run below steady state (JIT + page-cache warmup); best-of-5
+# reads the plateau. All reps are reported.
 TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
-LOW_PAR, HIGH_PAR = 4, 16  # both in the linear region of this VM (see BENCH notes)
+LOW_PAR, HIGH_PAR = 4, 16  # N vs 4N proxy; 32 would oversubscribe the VM
+                           # (32 hw threads shared with Python workers)
 
 HEADLINE = [
     "bm25_topk",
@@ -71,25 +80,26 @@ def run_headline(spark) -> dict[str, float]:
     return times
 
 
-def measure_indexing(spark, corpus_path: str, shards: int) -> float:
-    """Build the full index over the synthetic bench corpus; docs/sec."""
+def measure_indexing(spark, corpus_path: str) -> tuple[float, list[float]]:
+    """Build the full index over the synthetic bench corpus; docs/sec,
+    best of REPS (the sandbox VM has noisy neighbours)."""
     from flexneuart_spark.index.builder import build_index
 
     runs = []
     corpus = spark.read.parquet(corpus_path)
     n = corpus.count()
-    for _ in range(REPS):  # best-of-N: the sandbox VM has noisy neighbours
+    for _ in range(REPS):
         idx = tempfile.mkdtemp(prefix="fxn_bench_idx_", dir=TMP)
         try:
             t0 = time.time()
-            build_index(spark, corpus, idx, num_shards=shards, tokenizer="code")
+            build_index(spark, corpus, idx, tokenizer="code")
             runs.append(n / (time.time() - t0))
         finally:
             shutil.rmtree(idx, ignore_errors=True)
     return max(runs), [round(r, 1) for r in runs]
 
 
-def measure_query_p50(spark, corpus_path: str, shards: int) -> tuple[float, str]:
+def measure_query_p50(spark, corpus_path: str) -> tuple[float, str]:
     """Per-query latency over the bench index (one search() per query —
     the reference's per-query ms accounting, BaseQueryApp.java:705-724)."""
     from flexneuart_spark.fixtures import make_queries
@@ -99,7 +109,7 @@ def measure_query_p50(spark, corpus_path: str, shards: int) -> tuple[float, str]
     idx = tempfile.mkdtemp(prefix="fxn_bench_qidx_", dir=TMP)
     try:
         corpus = spark.read.parquet(corpus_path)
-        build_index(spark, corpus, idx, num_shards=shards, tokenizer="code")
+        build_index(spark, corpus, idx, tokenizer="code")
         s = Searcher(spark, idx).warm()
         queries = [
             (r.query_id, r.text)
@@ -126,28 +136,25 @@ def measure_query_p50(spark, corpus_path: str, shards: int) -> tuple[float, str]
 
 def main() -> None:
     # ---- synthetic bench corpus (deterministic, written once) ----
-    from flexneuart_spark.fixtures import make_corpus
+    from flexneuart_spark.fixtures import make_corpus_scaled
 
     corpus_dir = tempfile.mkdtemp(prefix="fxn_bench_corpus_", dir=TMP)
     corpus_path = f"{corpus_dir}/corpus.parquet"
-    pdf = make_corpus(SCALE_DOCS, seed=42)
+    pdf = make_corpus_scaled(SCALE_DOCS, seed=42)
+    corpus_mb = float(pdf["content"].str.len().sum()) / 1e6
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.Table.from_pandas(pdf), corpus_path, row_group_size=4096)
+    pq.write_table(pa.Table.from_pandas(pdf), corpus_path, row_group_size=2048)
     del pdf
 
-    results: dict = {}
-
-    # ---- scaling: same job at two parallelism levels ----
-    # constant shard count across parallelism levels — SAME job, only the
-    # executor-thread count changes (N vs 4N proxy)
-    shards = HIGH_PAR * 2
+    # ---- scaling: the SAME job at two parallelism levels (identical
+    # shard count/plan; only executor-thread count changes) ----
     thr = {}
     all_reps: dict = {}
     for par in (LOW_PAR, HIGH_PAR):
         spark = _spark(f"local[{par}]", par)
-        thr[par], reps = measure_indexing(spark, corpus_path, shards=shards)
+        thr[par], reps = measure_indexing(spark, corpus_path)
         all_reps[par] = reps
         print(f"  indexing local[{par}]: best {thr[par]:.0f} docs/s of {reps}", file=sys.stderr)
         spark.stop()
@@ -158,10 +165,11 @@ def main() -> None:
     t_suite0 = time.time()
     qtimes = run_headline(spark)
     suite_sec = round(time.time() - t_suite0, 3)
-    p50, batch_pq = measure_query_p50(spark, corpus_path, shards=CPUS)
+    p50, batch_pq = measure_query_p50(spark, corpus_path)
     spark.stop()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
+    avg_kb = corpus_mb * 1000.0 / SCALE_DOCS
     results = {
         "metric": "headline_suite_sec",
         "value": suite_sec,
@@ -172,9 +180,14 @@ def main() -> None:
             f"local[{LOW_PAR}]": round(thr[LOW_PAR], 1),
             f"local[{HIGH_PAR}]": round(thr[HIGH_PAR], 1),
         },
+        "indexing_mb_per_sec": {
+            f"local[{LOW_PAR}]": round(thr[LOW_PAR] * avg_kb / 1000.0, 1),
+            f"local[{HIGH_PAR}]": round(thr[HIGH_PAR] * avg_kb / 1000.0, 1),
+        },
         "scaling_efficiency": round(eff, 3),
         "indexing_reps_docs_per_sec": {f"local[{k}]": v for k, v in all_reps.items()},
         "bench_corpus_docs": SCALE_DOCS,
+        "bench_corpus_mb": round(corpus_mb, 1),
         "query_p50_sec": round(p50, 4),
         "query_batch_sec_per_query": round(batch_pq, 4),
     }
@@ -183,11 +196,12 @@ def main() -> None:
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured numbers (see BASELINE.md for targets)\n\n"
-            f"Bench corpus: {SCALE_DOCS} synthetic code docs (fixtures.make_corpus seed=42); "
-            f"headline queries at `{SF_DIR}`.\n\n"
+            f"Bench corpus: {SCALE_DOCS} synthetic code docs, {corpus_mb:.0f} MB "
+            f"(~{avg_kb:.1f} KB/doc — realistic source-file sizes; "
+            f"fixtures.make_corpus_scaled seed=42); headline queries at `{SF_DIR}`.\n\n"
             "| Metric | Value | Config |\n|---|---|---|\n"
-            f"| Indexing throughput | {thr[LOW_PAR]:.0f} docs/s | local[{LOW_PAR}] (N proxy) |\n"
-            f"| Indexing throughput | {thr[HIGH_PAR]:.0f} docs/s | local[{HIGH_PAR}] (4N proxy) |\n"
+            f"| Indexing throughput | {thr[LOW_PAR]:.0f} docs/s ({thr[LOW_PAR]*avg_kb/1000:.0f} MB/s) | local[{LOW_PAR}] (N proxy) |\n"
+            f"| Indexing throughput | {thr[HIGH_PAR]:.0f} docs/s ({thr[HIGH_PAR]*avg_kb/1000:.0f} MB/s) | local[{HIGH_PAR}] (4N proxy) |\n"
             f"| Scaling efficiency N→4N | {eff:.3f} | target ≥ 0.8; best-of-{REPS} each (VM timing variance is large — all reps: {all_reps}) |\n"
             f"| Query p50 latency (top-10) | {p50:.3f} s | local[{CPUS}], one search() per query |\n"
             f"| Query batch throughput | {batch_pq:.3f} s/query | whole query set in one pass (reference batch-app shape) |\n"

@@ -317,36 +317,42 @@ def build_index(
         .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
         .select("shard", "doc_id", "tokens", "doc_len", "content_sha256")
     )
-    (
-        # repartition AFTER tokenizing (compact arrays, not raw content):
-        # one file per shard directory instead of tasks x shards small
-        # files — the job-commit rename pass is serial on the driver and
-        # dominates otherwise. The sort + window ride the SAME exchange
-        # (hash(shard) satisfies the window's distribution, the sort its
-        # ordering), so per-shard dense ordinals cost no extra shuffle or
-        # sort — and no separate doc-map job.
+    from pyspark import StorageLevel
+
+    # Repartition AFTER tokenizing (compact arrays, not raw content): one
+    # file per shard directory instead of tasks x shards small files — the
+    # job-commit rename pass is serial on the driver and dominates
+    # otherwise. The sort + window ride the SAME exchange (hash(shard)
+    # satisfies the window's distribution, the sort its ordering), so
+    # per-shard dense ordinals cost no extra shuffle or sort — and no
+    # separate doc-map job. exactly num_shards partitions (not
+    # spark.sql.shuffle.partitions): hash(shard) over 4x-cores shards
+    # balances, and HashPartitioning satisfies the stage-2 groupBy
+    # clustering so no second exchange appears.
+    fwdp = (
         fwd.repartition(num_shards, "shard")
         .sortWithinPartitions("shard", "doc_id")
         .withColumn(
             "ord",
             F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1,
         )
-        .write.mode("overwrite")
+        # ONE shuffle for the whole build: the fwd write, the postings
+        # kernel and the lineage agg all consume these shard-complete
+        # partitions. DISK_ONLY keeps the cache serialized (executor-local
+        # spill dirs — tmpfs here, NVMe on a cluster); a deserialized
+        # in-memory cache of token arrays churns the heap for no benefit.
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    (
+        fwdp.write.mode("overwrite")
         .option("partitionOverwriteMode", ow_mode)
         .partitionBy("shard")
         .parquet(tables.fwd_dir)
     )
 
     # ---- Stage 2: inverted postings, one vectorized pass per shard.
-    # This groupBy is THE index-build shuffle: compact tokenized docs →
-    # shard-complete groups.
-    fwd_r = spark.read.parquet(tables.fwd_dir).filter(F.col("shard").isin(todo))
     plist = (
-        fwd_r.select("shard", "ord", "doc_len", "tokens")
-        # exactly num_shards partitions (not spark.sql.shuffle.partitions):
-        # hash(shard) over 4x-cores shards balances; HashPartitioning
-        # satisfies the groupBy clustering so no second exchange appears.
-        .repartition(num_shards, "shard")
+        fwdp.select("shard", "ord", "doc_len", "tokens")
         .groupBy("shard")
         .applyInPandas(_shard_postings_kernel, _POSTINGS_SCHEMA)
     )
@@ -358,13 +364,10 @@ def build_index(
         .parquet(tables.postings_dir)
     )
 
-    # ---- Lineage: one row per completed shard (checkpoint-resume unit);
-    # pruned-column read of the fwd table (token arrays never leave parquet).
+    # ---- Lineage: one row per completed shard (checkpoint-resume unit).
     duration = time.time() - t0
     lineage = (
-        spark.read.parquet(tables.fwd_dir)
-        .filter(F.col("shard").isin(todo))
-        .groupBy("shard")
+        fwdp.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("doc_len").alias("total_tokens"),
@@ -381,6 +384,7 @@ def build_index(
     except Exception:
         old = None
     new = lineage.toPandas()
+    fwdp.unpersist()
     merged = pd.concat([old, new], ignore_index=True) if old is not None and len(old) else new
     _write_control_table(
         spark, merged, tables.lineage_dir,

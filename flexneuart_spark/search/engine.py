@@ -111,25 +111,36 @@ class Searcher:
         k1: float = BM25_K1,
         b: float = BM25_B,
         tokenizer: str = "code",
+        adaptive: bool | None = False,
     ):
         self.spark = spark
         self.tables = IndexTables(index) if isinstance(index, str) else index
         self.k1, self.b = k1, b
+        if adaptive is not None:
+            # interactive top-k jobs are a handful of tiny stages; AQE's
+            # per-stage re-planning round trips roughly double their
+            # latency (measured 2x p50 on the bench corpus). Session-wide
+            # setting — pass adaptive=None to leave the session untouched.
+            spark.conf.set("spark.sql.adaptive.enabled", str(bool(adaptive)).lower())
         self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
         self.n_docs, self.total_tokens, self.avgdl = self.tables.stats(spark)
         self._fwd_ids = None
+        self._posts = None
         self._idf_cache: dict[str, float] | None = None
 
     def warm(self, max_dict_terms: int = 2_000_000) -> "Searcher":
-        """Pin the (shard, ord, doc_id) projection in executor memory and,
-        when the dictionary is small enough, cache term→idf driver-side —
-        repeated searches then skip both per-query metadata jobs (the
-        reference holds its fwd index + idf cache in memory for the whole
-        batch too, TFIDFSimilarity.java:48-58)."""
+        """Pin the (shard, ord, doc_id) projection AND the postings table
+        in executor memory and, when the dictionary is small enough, cache
+        term→idf driver-side — repeated searches then skip the per-query
+        metadata jobs and the parquet listing/scan (the reference holds
+        its whole index + idf cache in memory for the batch too,
+        TFIDFSimilarity.java:48-58; Lucene relies on the OS page cache)."""
         self._fwd_ids = (
             self.tables.docmap(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(0)).persist()
         )
         self._fwd_ids.count()
+        self._posts = self.tables.postings(self.spark).persist()
+        self._posts.count()
         head = self.tables.dictionary(self.spark).select("term", "idf").limit(max_dict_terms + 1).collect()
         if len(head) <= max_dict_terms:
             self._idf_cache = {r.term: float(r.idf) for r in head}
@@ -160,11 +171,8 @@ class Searcher:
         live = [t for t in vocab if t in idf]
         if not live:
             return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
-        posts = (
-            self.tables.postings(self.spark)
-            .filter(F.col("term").isin(live))
-            .withColumn("seg", F.lit(0))
-        )
+        posts_src = self._posts if self._posts is not None else self.tables.postings(self.spark)
+        posts = posts_src.filter(F.col("term").isin(live)).withColumn("seg", F.lit(0))
         fwd_ids = self._fwd_ids if self._fwd_ids is not None else (
             self.tables.docmap(self.spark)
             .select("shard", "ord", "doc_id")

@@ -116,18 +116,24 @@ def sdm_topk(
     query_window: int = 4,
     doc_window: int = 8,
     tokenizer: str = "code",
+    component_k: int | None = None,
 ) -> DataFrame:
     """Sequential Dependence Model (SURVEY.md §2.8 C4,
     ``simil_func/SDMSimilarityAnserini.java`` shape): weighted combination
     of the unigram BM25 score and the ordered/unordered close-pair scores.
     Each component reuses its individually-oracle-tested implementation;
-    missing components contribute 0 (outer join)."""
+    missing components contribute 0 (outer join).
+
+    ``component_k`` bounds each component's candidate depth (default
+    10k-or-100, the usual rerank-pool shape); pass a value ≥ corpus size
+    for the exhaustive combination (exactly SQL-expressible)."""
     from flexneuart_spark.search.engine import Searcher
 
-    uni = Searcher(spark, tables, tokenizer=tokenizer).search(queries, k=max(k * 10, 100))
-    o = proximity_topk(spark, tables, queries, k=max(k * 10, 100), query_window=query_window,
+    ck = component_k if component_k is not None else max(k * 10, 100)
+    uni = Searcher(spark, tables, tokenizer=tokenizer).search(queries, k=ck)
+    o = proximity_topk(spark, tables, queries, k=ck, query_window=query_window,
                        doc_window=doc_window, ordered=True, tokenizer=tokenizer)
-    u = proximity_topk(spark, tables, queries, k=max(k * 10, 100), query_window=query_window,
+    u = proximity_topk(spark, tables, queries, k=ck, query_window=query_window,
                        doc_window=doc_window, ordered=False, tokenizer=tokenizer)
     uni = uni.select("query_id", "doc_id", F.col("score").alias("s_uni"))
     o = o.select("query_id", "doc_id", F.col("score").alias("s_ord"))
