@@ -83,3 +83,28 @@ def test_empty_query_returns_nothing(spark, setup):
     run = _collect_run(Searcher(spark, tables).search(qlist, k=K))
     for qid in empty_qids:
         assert qid not in run
+
+
+def test_driver_merge_path_identical(spark, setup):
+    """The opt-in single-job driver-merge path (broadcast doc map) must be
+    row-identical to the distributed join + window plan AND to the oracle
+    golden run."""
+    tables, qlist, golden, _, _ = setup
+    cold = Searcher(spark, tables, tokenizer="code")
+    warmed = Searcher(spark, tables, tokenizer="code").warm()
+    run_cold = _collect_run(cold.search(qlist, k=K))
+    run_dist = _collect_run(warmed.search(qlist, k=K))
+    run_fast = _collect_run(warmed.search(qlist, k=K, driver_merge=True))
+    assert warmed._docmap_bcast is not None  # broadcast built lazily
+    assert run_fast == run_dist == run_cold
+    for qid, want in golden.items():
+        assert_rank_identical(run_fast.get(qid, []), want)
+
+
+def test_driver_merge_respects_docmap_limit(spark, setup):
+    tables, qlist, golden, _, _ = setup
+    s = Searcher(spark, tables, tokenizer="code").warm(max_docmap_docs=1)
+    run = _collect_run(s.search(qlist, k=K, driver_merge=True))
+    assert s._docmap_bcast is None  # over limit → distributed plan used
+    for qid, want in golden.items():
+        assert_rank_identical(run.get(qid, []), want)
