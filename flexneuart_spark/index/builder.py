@@ -171,8 +171,10 @@ def _shard_postings_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 @dataclass
 class IndexTables:
     """Handles to the index's storage layout (Parquet; Iceberg-shaped —
-    swap the reader/writer for ``format("iceberg")`` when the runtime has
-    the Iceberg jars; see store.py)."""
+    partitioned dirs + atomic overwrite ≈ snapshot semantics; swap these
+    readers/writers for ``format("iceberg")`` + ``overwritePartitions()``
+    when the runtime ships the Iceberg jars — not present in this
+    sandbox)."""
 
     index_dir: str
 

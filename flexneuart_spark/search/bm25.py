@@ -92,3 +92,44 @@ def bm25_topk_relational(
         .filter(F.col("rank") <= k)
         .select("query_id", doc_id_col, "score", "rank")
     )
+
+
+def bm25_sparse_vectors(docs_tok: DataFrame, is_query: bool = False) -> DataFrame:
+    """BM25-as-dot-product sparse vectors (SURVEY.md §2.8 C9 / §2.1 S9;
+    reference ``simil_func/BM25SimilarityLucene.java:171-203``
+    ``getBM25SparseVectorNoNorm`` with shared IDF, and the NMSLIB export
+    apps ``ExportToNMSLIBSparse.java``):
+
+      doc value   = sqrt(idf) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+      query value = qtf · sqrt(idf)
+
+    so that ``<query_vec, doc_vec> = BM25(query, doc)`` exactly (checked
+    by ``CheckSparseExportScores.java``'s pattern in tests). Returns
+    (doc_id, term, value); idf/avgdl computed from ``docs_tok`` itself
+    when exporting docs — pass the corpus frame for query export too so
+    both sides share statistics."""
+    from flexneuart_spark.config import BM25_B, BM25_K1
+
+    dl = docs_tok.select("doc_id", F.size("tokens").cast("long").alias("doc_len"))
+    tf = (
+        docs_tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if is_query:
+        # qtf only; sqrt(idf) must be applied against the CORPUS stats by
+        # the caller (join on the corpus dictionary) — see tests.
+        return tf.select("doc_id", "term", F.col("tf").cast("double").alias("value"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tf_norm = F.col("tf") * F.lit(BM25_K1 + 1.0) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doc_len") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (F.sqrt(idf) * tf_norm).alias("value"))
+    )
