@@ -216,14 +216,84 @@ FROM j, unnest(range(CAST(ceil(dlen * 1.0 / csize) AS BIGINT))) AS t(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# id_mapping (J4)
+# ---------------------------------------------------------------------------
+
+
+def q_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — IdMapperCandidateProvider: run the backend retrieval (BM25
+    top-k), map every retrieved id through a (possibly one-to-many) id
+    map, aggregate per mapped id (max; ``isAggregSum=false`` default),
+    re-sort, truncate to k (``cand_providers/IdMapperCandidateProvider.java:
+    91-129``). The map here is deterministic arithmetic over the numeric
+    doc_id (parent = doc_id/10; every 7th doc also maps to parent+1000 —
+    exercising the whitespace-multi-mapping path)."""
+    from flexneuart_spark.plans.entries import _bm25_scored
+
+    run = _rounded_topk(_bm25_scored(spark, sf_dir))
+    base = F.floor(F.col("doc_id") / 10).cast("long")
+    mapped = run.select(
+        "query_id",
+        "score_r",
+        F.explode(
+            F.when(F.col("doc_id") % 7 == 0, F.array(base, base + 1000)).otherwise(F.array(base))
+        ).alias("mapped_id"),
+    )
+    agg = mapped.groupBy("query_id", "mapped_id").agg(F.max("score_r").alias("score_r"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.desc("mapped_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "mapped_id", "score_r", "rank")
+    )
+
+
+SQL_ID_MAPPING = rf"""
+WITH {SQL_TOK}, {SQL_QTOK},
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * f.tf * (1.2 + 1.0) / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avgdl))) AS score
+  FROM tf f JOIN qtf q USING (term) JOIN dfreq d USING (term)
+  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, round(score, 4) AS score_r,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(score, 4) DESC, doc_id DESC) AS rank
+    FROM scored) WHERE rank <= {K}
+),
+mapped AS (
+  SELECT query_id, score_r,
+         unnest(CASE WHEN doc_id % 7 = 0
+                     THEN [CAST(floor(doc_id / 10) AS BIGINT), CAST(floor(doc_id / 10) + 1000 AS BIGINT)]
+                     ELSE [CAST(floor(doc_id / 10) AS BIGINT)] END) AS mapped_id
+  FROM run
+),
+agg AS (SELECT query_id, mapped_id, max(score_r) AS score_r FROM mapped GROUP BY 1, 2)
+SELECT query_id, mapped_id, score_r,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY score_r DESC, mapped_id DESC) AS rank FROM agg)
+WHERE rank <= {K}
+"""
+
+
 EXT_QUERIES_REG = {
     "model1_score": q_model1_score,
     "sparse_export": q_sparse_export,
     "bitext_pairs": q_bitext_pairs,
+    "id_mapping": q_id_mapping,
 }
 
 EXT_ORACLE_SQL = {
     "model1_score": SQL_MODEL1_SCORE,
     "sparse_export": SQL_SPARSE_EXPORT,
     "bitext_pairs": SQL_BITEXT_PAIRS,
+    "id_mapping": SQL_ID_MAPPING,
 }

@@ -53,3 +53,70 @@ def test_shard_partition_pruning(spark, tables):
     plan = _plan(one)
     # directory-partitioned by shard → partition filter, not data filter
     assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_build_is_single_shuffle(spark, tmp_path_factory):
+    """The whole index build shuffles exactly once: the post-tokenize
+    repartition by shard. Stage 2 consumes the persisted shard-complete
+    partitions (InMemoryTableScan), so its plan contains NO new Exchange
+    before the kernel."""
+    from flexneuart_spark.config import MAX_DOC_SIZE
+    from flexneuart_spark.index.builder import (
+        _POSTINGS_SCHEMA,
+        _shard_postings_kernel,
+        _tokens_udf,
+        derive_doc_id,
+    )
+    from pyspark.sql import Window
+
+    docs = derive_doc_id(spark.createDataFrame(make_corpus(80, 42)))
+    docs = docs.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+    tok = _tokens_udf("code")
+    fwd = (
+        docs.withColumn("tokens", tok(F.substring("content", 1, MAX_DOC_SIZE)))
+        .withColumn("doc_len", F.size("tokens").cast("long"))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .select("shard", "doc_id", "tokens", "doc_len", "content_sha256")
+        .repartition(4, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .withColumn(
+            "ord",
+            F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1,
+        )
+    )
+    # stage-1 frame: exactly one exchange (the repartition); the ordinal
+    # window adds neither an exchange nor a second sort
+    p1 = _plan(fwd)
+    assert p1.count("Exchange") == 1, p1
+    assert p1.count("Sort ") <= 1, p1
+
+    fwdp = fwd.persist()
+    try:
+        fwdp.count()
+        plist = fwdp.select("shard", "ord", "doc_len", "tokens").groupBy("shard").applyInPandas(
+            _shard_postings_kernel, _POSTINGS_SCHEMA
+        )
+        p2 = _plan(plist)
+        # cached partitioning satisfies the groupBy clustering: no exchange
+        # ABOVE the cache scan (the InMemoryRelation's own description
+        # embeds the original stage-1 exchange — that one already ran)
+        assert "InMemoryTableScan" in p2, p2
+        above_cache = p2.split("InMemoryTableScan")[0]
+        assert "Exchange" not in above_cache, p2
+    finally:
+        fwdp.unpersist()
+
+
+def test_warmed_query_has_no_exchange_before_kernel(spark, tables):
+    """Warmed searcher: postings cached pre-partitioned by shard → the
+    per-query scoring kernel stage needs no exchange over the cache."""
+    from flexneuart_spark.search.engine import Searcher
+
+    s = Searcher(spark, tables).warm()
+    posts = s._posts.filter(F.col("term").isin(["def", "return"]))
+    scored = posts.groupBy("shard").applyInPandas(
+        lambda pdf: pdf[["shard"]].head(1), "shard int"
+    )
+    p = _plan(scored)
+    assert "InMemoryTableScan" in p, p
+    assert "Exchange" not in p.split("InMemoryTableScan")[0], p
