@@ -18,6 +18,7 @@ from flexneuart_spark.operators.model1 import (
     model1_scores,
 )
 from flexneuart_spark.plans.entries import (
+    DOC_QUERIES,
     K,
     SQL_QTOK,
     SQL_TOK,
@@ -284,11 +285,128 @@ WHERE rank <= {K}
 """
 
 
+# ---------------------------------------------------------------------------
+# cedr_export (S10)
+# ---------------------------------------------------------------------------
+
+
+def q_cedr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — ExportTrainCEDR line format (``apps/ExportTrainCEDR.java:
+    103-160``): data-file lines ``query\\t<qid>\\t<text>`` (whitespace
+    collapsed) and ``doc\\t<did>\\t<text>``, plus train-pair lines
+    ``<qid>\\t<did>``. Pairs = positives (the qrels derivation) ∪ the R1
+    hard negatives; doc lines are emitted once per referenced doc.
+    Returned as (kind, line) rows — kind names the output file."""
+    from flexneuart_spark.plans.entries import _bm25_scored
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_tok = _doc_tokens(spark, sf_dir)
+    q_tok = _queries_df(spark)
+    dterms = docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    qterms = q_tok.select("query_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
+    rel = (
+        dterms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("matched"))
+        .join(F.broadcast(qsize), "query_id")
+        .filter(F.col("matched") == F.col("qn"))
+        .select("query_id", "doc_id")
+    )
+    run = _rounded_topk(_bm25_scored(spark, sf_dir))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    neg = (
+        run.join(rel, ["query_id", "doc_id"], "left_anti")
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", "doc_id")
+    )
+    pairs = rel.unionByName(neg).distinct()
+
+    ws_collapse = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    q_lines = (
+        spark.createDataFrame(DOC_QUERIES, ["query_id", "qtext"])
+        .join(pairs.select("query_id").distinct(), "query_id")
+        .select(
+            F.lit("data").alias("kind"),
+            F.concat(F.lit("query\t"), F.col("query_id"), F.lit("\t"), ws_collapse("qtext")).alias("line"),
+        )
+    )
+    d_lines = (
+        docs.join(pairs.select("doc_id").distinct(), "doc_id")
+        .select(
+            F.lit("data").alias("kind"),
+            F.concat(F.lit("doc\t"), F.col("doc_id").cast("string"), F.lit("\t"), ws_collapse("text")).alias("line"),
+        )
+    )
+    p_lines = pairs.select(
+        F.lit("pairs").alias("kind"),
+        F.concat(F.col("query_id"), F.lit("\t"), F.col("doc_id").cast("string")).alias("line"),
+    )
+    return q_lines.unionByName(d_lines).unionByName(p_lines)
+
+
+SQL_CEDR_EXPORT = rf"""
+WITH {SQL_TOK}, {SQL_QTOK},
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+qterms AS (SELECT DISTINCT query_id, term FROM qtok),
+qsize AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY 1),
+rel AS (
+  SELECT m.query_id, m.doc_id
+  FROM (SELECT q.query_id, d.doc_id, count(*) AS matched
+        FROM dterms d JOIN qterms q USING (term) GROUP BY 1, 2) m
+  JOIN qsize s ON m.query_id = s.query_id
+  WHERE m.matched = s.qn
+),
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * f.tf * (1.2 + 1.0) / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avgdl))) AS score
+  FROM tf f JOIN qtf q USING (term) JOIN dfreq d USING (term)
+  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(score, 4) DESC, doc_id DESC) AS rank
+    FROM scored) WHERE rank <= {K}
+),
+neg AS (
+  SELECT query_id, doc_id FROM (
+    SELECT r.query_id, r.doc_id,
+           row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank ASC) AS neg_rank
+    FROM run r LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+    WHERE rel.doc_id IS NULL)
+  WHERE neg_rank <= 5
+),
+pairs AS (SELECT DISTINCT * FROM (SELECT * FROM rel UNION SELECT * FROM neg)),
+q_lines AS (
+  SELECT 'data' AS kind,
+         'query' || chr(9) || query_id || chr(9) || trim(regexp_replace(qtext, '\s+', ' ', 'g')) AS line
+  FROM qraw WHERE query_id IN (SELECT DISTINCT query_id FROM pairs)
+),
+d_lines AS (
+  SELECT 'data' AS kind,
+         'doc' || chr(9) || CAST(d.doc_id AS VARCHAR) || chr(9) || trim(regexp_replace(d.text, '\s+', ' ', 'g')) AS line
+  FROM documents d WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM pairs)
+),
+p_lines AS (
+  SELECT 'pairs' AS kind, query_id || chr(9) || CAST(doc_id AS VARCHAR) AS line FROM pairs
+)
+SELECT * FROM q_lines UNION ALL SELECT * FROM d_lines UNION ALL SELECT * FROM p_lines
+"""
+
+
 EXT_QUERIES_REG = {
     "model1_score": q_model1_score,
     "sparse_export": q_sparse_export,
     "bitext_pairs": q_bitext_pairs,
     "id_mapping": q_id_mapping,
+    "cedr_export": q_cedr_export,
 }
 
 EXT_ORACLE_SQL = {
@@ -296,4 +414,5 @@ EXT_ORACLE_SQL = {
     "sparse_export": SQL_SPARSE_EXPORT,
     "bitext_pairs": SQL_BITEXT_PAIRS,
     "id_mapping": SQL_ID_MAPPING,
+    "cedr_export": SQL_CEDR_EXPORT,
 }
