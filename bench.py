@@ -2,9 +2,10 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], measures indexing throughput at TWO parallelism
-levels (local[4] vs local[16] — the sandbox proxy for N vs 4N executors,
-per BASELINE.md) plus per-query p50 latency, prints ONE JSON line, and
-refreshes BENCH/BASELINE.md with the measured table.
+levels (local[1] vs local[4] — the sandbox proxy for N vs 4N executors;
+rationale at LOW_PAR below and in BASELINE.md) plus per-query p50
+latency, prints ONE JSON line, and refreshes BENCH/BASELINE.md with the
+measured table.
 
 The indexing corpus uses realistic source-file sizes
 (fixtures.make_corpus_scaled: median ~450 tokens/doc ≈ a few hundred
@@ -145,7 +146,7 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, str]:
     try:
         corpus = spark.read.parquet(corpus_path)
         build_index(spark, corpus, idx, tokenizer="code")
-        s = Searcher(spark, idx).warm()
+        s = Searcher(spark, idx, adaptive=False).warm()
         queries = [
             (r.query_id, r.text)
             for r in make_queries(21, seed=43).itertuples(index=False)
@@ -204,6 +205,8 @@ def main() -> None:
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     avg_kb = corpus_mb * 1000.0 / SCALE_DOCS
+    # MB/s figures must use the corpus the throughput was MEASURED on
+    scaling_kb = scaling_mb * 1000.0 / SCALING_DOCS
     results = {
         "metric": "headline_suite_sec",
         "value": suite_sec,
@@ -215,8 +218,8 @@ def main() -> None:
             f"local[{HIGH_PAR}]": round(thr[HIGH_PAR], 1),
         },
         "indexing_mb_per_sec": {
-            f"local[{LOW_PAR}]": round(thr[LOW_PAR] * avg_kb / 1000.0, 1),
-            f"local[{HIGH_PAR}]": round(thr[HIGH_PAR] * avg_kb / 1000.0, 1),
+            f"local[{LOW_PAR}]": round(thr[LOW_PAR] * scaling_kb / 1000.0, 1),
+            f"local[{HIGH_PAR}]": round(thr[HIGH_PAR] * scaling_kb / 1000.0, 1),
         },
         "scaling_efficiency": round(eff, 3),
         "scaling_pair_ratios": pair_ratios,
@@ -235,8 +238,8 @@ def main() -> None:
             f"(~{avg_kb:.1f} KB/doc — realistic source-file sizes; "
             f"fixtures.make_corpus_scaled seed=42); headline queries at `{SF_DIR}`.\n\n"
             "| Metric | Value | Config |\n|---|---|---|\n"
-            f"| Indexing throughput | {thr[LOW_PAR]:.0f} docs/s ({thr[LOW_PAR]*avg_kb/1000:.0f} MB/s) | local[{LOW_PAR}] (N proxy; {SCALING_DOCS}-doc / {scaling_mb:.0f} MB corpus) |\n"
-            f"| Indexing throughput | {thr[HIGH_PAR]:.0f} docs/s ({thr[HIGH_PAR]*avg_kb/1000:.0f} MB/s) | local[{HIGH_PAR}] (4N proxy) |\n"
+            f"| Indexing throughput | {thr[LOW_PAR]:.0f} docs/s ({thr[LOW_PAR]*scaling_kb/1000:.0f} MB/s) | local[{LOW_PAR}] (N proxy; {SCALING_DOCS}-doc / {scaling_mb:.0f} MB corpus) |\n"
+            f"| Indexing throughput | {thr[HIGH_PAR]:.0f} docs/s ({thr[HIGH_PAR]*scaling_kb/1000:.0f} MB/s) | local[{HIGH_PAR}] (4N proxy) |\n"
             f"| Scaling efficiency N→4N | {eff:.3f} | target ≥ 0.8; median of {REPS} PAIRED (N, 4N) ratios {pair_ratios} — pairing cancels the VM's slow-window drift; all reps (docs/s): {all_reps} |\n"
             f"| Query p50 latency (top-10) | {p50:.3f} s | local[{CPUS}], one search() per query |\n"
             f"| Query batch throughput | {batch_pq:.3f} s/query | whole query set in one pass (reference batch-app shape) |\n"

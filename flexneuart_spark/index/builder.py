@@ -409,22 +409,32 @@ def _write_control_table(spark: SparkSession, pdf: pd.DataFrame, path: str, sche
     Falls back to a Spark write when the path isn't driver-writable local
     storage (e.g. an object store on a real cluster)."""
     import os
+    import re
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    p = path[7:] if path.startswith("file://") else path
-    try:
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        os.makedirs(p, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{p}/part-00000.parquet")
-        with open(f"{p}/_SUCCESS", "w"):
+    # only local filesystem paths take the driver-side fast path; any other
+    # scheme (s3a://, hdfs://, ...) goes through Spark, whose Hadoop
+    # filesystems know how to reach it
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):/+", path)
+    scheme = m.group(1).lower() if m else None
+    local = scheme in (None, "file")
+    p = re.sub(r"^file:/+", "/", path) if scheme == "file" else path
+    if local:
+        try:
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            os.makedirs(p, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{p}/part-00000.parquet")
+            with open(f"{p}/_SUCCESS", "w"):
+                pass
+            return
+        except OSError:
             pass
-    except OSError:
-        df = spark.createDataFrame(pdf, schema=schema) if len(pdf) == 0 else spark.createDataFrame(pdf)
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.createDataFrame(pdf, schema=schema) if len(pdf) == 0 else spark.createDataFrame(pdf)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def _finalize(spark: SparkSession, tables: IndexTables) -> None:

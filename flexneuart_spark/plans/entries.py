@@ -106,6 +106,37 @@ def _queries_df(spark: SparkSession) -> DataFrame:
     return df.select("query_id", whitespace_tokens_col("qtext").alias("tokens"))
 
 
+SQL_REL = r"""
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+qterms AS (SELECT DISTINCT query_id, term FROM qtok),
+qsize AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY 1),
+rel AS (
+  SELECT m.query_id, m.doc_id
+  FROM (SELECT q.query_id, d.doc_id, count(*) AS matched
+        FROM dterms d JOIN qterms q USING (term) GROUP BY 1, 2) m
+  JOIN qsize s ON m.query_id = s.query_id
+  WHERE m.matched = s.qn
+)"""
+
+
+def _rel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived relevance (SQL_REL twin): doc is relevant to a query iff it
+    contains ALL the query's distinct terms → (query_id, doc_id)."""
+    docs_tok = _doc_tokens(spark, sf_dir)
+    q_tok = _queries_df(spark)
+    dterms = docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    qterms = q_tok.select("query_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
+    return (
+        dterms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("matched"))
+        .join(F.broadcast(qsize), "query_id")
+        .filter(F.col("matched") == F.col("qn"))
+        .select("query_id", "doc_id")
+    )
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational BM25 score per (query, matching doc) — C1 formula."""
     docs_tok = _doc_tokens(spark, sf_dir)
@@ -471,19 +502,7 @@ def q_qrels_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/J3/J7 — derive qrels (grade 1 iff the doc contains ALL distinct
     query terms), join against the BM25 run, per-query P@10 + MRR@10
     (eval.py:84-190 cutoff semantics)."""
-    docs_tok = _doc_tokens(spark, sf_dir)
-    q_tok = _queries_df(spark)
-    dterms = docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qterms = q_tok.select("query_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-    rel = (
-        dterms.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("matched"))
-        .join(F.broadcast(qsize), "query_id")
-        .filter(F.col("matched") == F.col("qn"))
-        .select("query_id", "doc_id")
-    )
+    rel = _rel_pairs(spark, sf_dir)
     run = _rounded_topk(_bm25_scored(spark, sf_dir))
     j = run.join(rel.withColumn("rel", F.lit(1)), ["query_id", "doc_id"], "left").fillna(
         {"rel": 0}
@@ -501,16 +520,7 @@ def q_qrels_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QRELS_EVAL = rf"""
 WITH {SQL_TOK}, {SQL_QTOK}, {SQL_BM25_SCORED},
-dterms AS (SELECT DISTINCT doc_id, term FROM tok),
-qterms AS (SELECT DISTINCT query_id, term FROM qtok),
-qsize AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY 1),
-rel AS (
-  SELECT m.query_id, m.doc_id
-  FROM (SELECT q.query_id, d.doc_id, count(*) AS matched
-        FROM dterms d JOIN qterms q USING (term) GROUP BY 1, 2) m
-  JOIN qsize s ON m.query_id = s.query_id
-  WHERE m.matched = s.qn
-),
+{SQL_REL},
 topk AS (
   SELECT query_id, doc_id, round(score, 4) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id DESC) AS INT) AS rank
@@ -528,19 +538,7 @@ GROUP BY 1
 def q_neg_sampling_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 — ExportTrainNegSampleBase hard negatives: top-scored
     NON-relevant candidates per query (top-5 of the BM25 run minus qrels)."""
-    docs_tok = _doc_tokens(spark, sf_dir)
-    q_tok = _queries_df(spark)
-    dterms = docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qterms = q_tok.select("query_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-    rel = (
-        dterms.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("matched"))
-        .join(F.broadcast(qsize), "query_id")
-        .filter(F.col("matched") == F.col("qn"))
-        .select("query_id", "doc_id")
-    )
+    rel = _rel_pairs(spark, sf_dir)
     run = _rounded_topk(_bm25_scored(spark, sf_dir))
     neg = run.join(rel, ["query_id", "doc_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
@@ -553,16 +551,7 @@ def q_neg_sampling_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NEG_SAMPLING_HARD = rf"""
 WITH {SQL_TOK}, {SQL_QTOK}, {SQL_BM25_SCORED},
-dterms AS (SELECT DISTINCT doc_id, term FROM tok),
-qterms AS (SELECT DISTINCT query_id, term FROM qtok),
-qsize AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY 1),
-rel AS (
-  SELECT m.query_id, m.doc_id
-  FROM (SELECT q.query_id, d.doc_id, count(*) AS matched
-        FROM dterms d JOIN qterms q USING (term) GROUP BY 1, 2) m
-  JOIN qsize s ON m.query_id = s.query_id
-  WHERE m.matched = s.qn
-),
+{SQL_REL},
 topk AS (
   SELECT query_id, doc_id, round(score, 4) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id DESC) AS INT) AS rank

@@ -20,10 +20,13 @@ from flexneuart_spark.operators.model1 import (
 from flexneuart_spark.plans.entries import (
     DOC_QUERIES,
     K,
+    SQL_BM25_SCORED,
     SQL_QTOK,
+    SQL_REL,
     SQL_TOK,
     _doc_tokens,
     _queries_df,
+    _rel_pairs,
     _rounded_topk,
 )
 from flexneuart_spark.search.bm25 import bm25_sparse_vectors
@@ -141,19 +144,9 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc token sequence is chunked into windows of ``ratio · |query|``
     words, each aligned with the full query (the reference emits one
     question/answer line pair per chunk)."""
+    rel = _rel_pairs(spark, sf_dir)
     docs_tok = _doc_tokens(spark, sf_dir)
     q_tok = _queries_df(spark)
-    dterms = docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qterms = q_tok.select("query_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-    rel = (
-        dterms.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("matched"))
-        .join(F.broadcast(qsize), "query_id")
-        .filter(F.col("matched") == F.col("qn"))
-        .select("query_id", "doc_id")
-    )
     q = q_tok.select(
         "query_id",
         F.concat_ws(" ", "tokens").alias("query_text"),
@@ -186,16 +179,7 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BITEXT_PAIRS = rf"""
 WITH {SQL_TOK}, {SQL_QTOK},
-dterms AS (SELECT DISTINCT doc_id, term FROM tok),
-qterms AS (SELECT DISTINCT query_id, term FROM qtok),
-qsize AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY 1),
-rel AS (
-  SELECT m.query_id, m.doc_id
-  FROM (SELECT q.query_id, d.doc_id, count(*) AS matched
-        FROM dterms d JOIN qterms q USING (term) GROUP BY 1, 2) m
-  JOIN qsize s ON m.query_id = s.query_id
-  WHERE m.matched = s.qn
-),
+{SQL_REL},
 ql AS (
   SELECT query_id,
          array_to_string(list_filter(string_split_regex(qtext, '\s+'), x -> x <> ''), ' ') AS query_text,
@@ -254,14 +238,7 @@ def q_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ID_MAPPING = rf"""
 WITH {SQL_TOK}, {SQL_QTOK},
-scored AS (
-  SELECT q.query_id, f.doc_id,
-         sum(q.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-             * f.tf * (1.2 + 1.0) / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avgdl))) AS score
-  FROM tf f JOIN qtf q USING (term) JOIN dfreq d USING (term)
-  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN stats s
-  GROUP BY 1, 2
-),
+{SQL_BM25_SCORED},
 run AS (
   SELECT * FROM (
     SELECT query_id, doc_id, round(score, 4) AS score_r,
@@ -300,19 +277,7 @@ def q_cedr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flexneuart_spark.plans.entries import _bm25_scored
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs_tok = _doc_tokens(spark, sf_dir)
-    q_tok = _queries_df(spark)
-    dterms = docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qterms = q_tok.select("query_id", F.explode(F.array_distinct("tokens")).alias("term"))
-    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-    rel = (
-        dterms.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("matched"))
-        .join(F.broadcast(qsize), "query_id")
-        .filter(F.col("matched") == F.col("qn"))
-        .select("query_id", "doc_id")
-    )
+    rel = _rel_pairs(spark, sf_dir)
     run = _rounded_topk(_bm25_scored(spark, sf_dir))
     from pyspark.sql import Window
 
@@ -350,24 +315,8 @@ def q_cedr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CEDR_EXPORT = rf"""
 WITH {SQL_TOK}, {SQL_QTOK},
-dterms AS (SELECT DISTINCT doc_id, term FROM tok),
-qterms AS (SELECT DISTINCT query_id, term FROM qtok),
-qsize AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY 1),
-rel AS (
-  SELECT m.query_id, m.doc_id
-  FROM (SELECT q.query_id, d.doc_id, count(*) AS matched
-        FROM dterms d JOIN qterms q USING (term) GROUP BY 1, 2) m
-  JOIN qsize s ON m.query_id = s.query_id
-  WHERE m.matched = s.qn
-),
-scored AS (
-  SELECT q.query_id, f.doc_id,
-         sum(q.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-             * f.tf * (1.2 + 1.0) / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doc_len / s.avgdl))) AS score
-  FROM tf f JOIN qtf q USING (term) JOIN dfreq d USING (term)
-  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN stats s
-  GROUP BY 1, 2
-),
+{SQL_REL},
+{SQL_BM25_SCORED},
 run AS (
   SELECT * FROM (
     SELECT query_id, doc_id,

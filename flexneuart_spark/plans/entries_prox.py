@@ -156,7 +156,12 @@ def q_sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         tables,
         DOC_QUERIES,
-        k=K,
+        # fetch an over-buffer and let _rounded_topk apply the rounded-score
+        # cut at K: truncating at exactly K inside sdm_topk would break ties
+        # on the UNROUNDED score / string doc_id order, which can disagree
+        # with the oracle's round(score,4) + numeric doc_id rule at the
+        # boundary (ENGINE_BUFFER discipline, entries.py:32)
+        k=50,
         w_unigram=W_UNI,
         w_ordered=W_ORD,
         w_unordered=W_UNORD,

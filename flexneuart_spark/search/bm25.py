@@ -107,9 +107,9 @@ def bm25_sparse_vectors(docs_tok: DataFrame, is_query: bool = False) -> DataFram
     by ``CheckSparseExportScores.java``'s pattern in tests). Returns
     (doc_id, term, value); idf/avgdl computed from ``docs_tok`` itself
     when exporting docs — pass the corpus frame for query export too so
-    both sides share statistics."""
-    from flexneuart_spark.config import BM25_B, BM25_K1
-
+    both sides share statistics. (The BM25 formula appears here and in
+    the relational/kernel/oracle implementations BY DESIGN — the
+    dual-implementation check pattern; tests pin them together.)"""
     dl = docs_tok.select("doc_id", F.size("tokens").cast("long").alias("doc_len"))
     tf = (
         docs_tok.select("doc_id", F.explode("tokens").alias("term"))

@@ -186,7 +186,7 @@ class Searcher:
         k1: float = BM25_K1,
         b: float = BM25_B,
         tokenizer: str = "code",
-        adaptive: bool | None = False,
+        adaptive: bool | None = None,
     ):
         self.spark = spark
         self.tables = IndexTables(index) if isinstance(index, str) else index
@@ -194,8 +194,11 @@ class Searcher:
         if adaptive is not None:
             # interactive top-k jobs are a handful of tiny stages; AQE's
             # per-stage re-planning round trips roughly double their
-            # latency (measured 2x p50 on the bench corpus). Session-wide
-            # setting — pass adaptive=None to leave the session untouched.
+            # latency (measured 2x p50 on the bench corpus) — pass
+            # adaptive=False for latency-sensitive interactive use. This is
+            # a SESSION-WIDE setting and is deliberately opt-in (None =
+            # leave the session untouched) so that library-internal
+            # Searcher construction never flips the caller's AQE.
             spark.conf.set("spark.sql.adaptive.enabled", str(bool(adaptive)).lower())
         self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
         self.n_docs, self.total_tokens, self.avgdl = self.tables.stats(spark)
@@ -215,7 +218,15 @@ class Searcher:
         TFIDFSimilarity.java:48-58; Lucene relies on the OS page cache).
 
         ``max_docmap_docs`` bounds the lazily-built doc-map broadcast used
-        by ``search(driver_merge=True)``."""
+        by ``search(driver_merge=True)``. Re-warming releases the previous
+        caches and broadcast (safe after the index was rebuilt)."""
+        if self._fwd_ids is not None:
+            self._fwd_ids.unpersist()
+        if self._posts is not None:
+            self._posts.unpersist()
+        if self._docmap_bcast is not None:
+            self._docmap_bcast.unpersist()
+            self._docmap_bcast = None
         self._fwd_ids = (
             self.tables.docmap(self.spark).select("shard", "ord", "doc_id").withColumn("seg", F.lit(0)).persist()
         )
