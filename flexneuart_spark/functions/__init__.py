@@ -6,3 +6,4 @@ from flexneuart_spark.functions.tokenize import (  # noqa: F401
     whitespace_tokenize,
     whitespace_tokens_col,
 )
+from flexneuart_spark.functions import distances, textproc  # noqa: F401

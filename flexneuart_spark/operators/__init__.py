@@ -1,1 +1,9 @@
-from flexneuart_spark.operators import dedup, multimodal, similarity, text_analysis  # noqa: F401
+from flexneuart_spark.operators import (  # noqa: F401
+    dedup,
+    features,
+    model1,
+    multimodal,
+    pipeline,
+    similarity,
+    text_analysis,
+)
