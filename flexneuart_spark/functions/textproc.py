@@ -41,3 +41,48 @@ def strip_diacritics_ascii_col(col) -> Column:
     """T8 analogue — drop non-ASCII chars (legacy cleanup slot,
     ``utils/StringUtils.java:106-130``)."""
     return F.regexp_replace(_c(col), r"[^\x00-\x7F]+", "")
+
+
+# ---------------------------------------------------------------------------
+# T7: HTML → text (basic strip path)
+# ---------------------------------------------------------------------------
+# The reference ships full boilerplate-stripping parsers
+# (``utils/HTMLParser.java``, ``utils/CleanerUtil.java``,
+# ``flexneuart/ir_datasets/html_parser.py``). Implemented here is the
+# BASIC strip path: drop <script>/<style> blocks and comments, remove
+# tags, decode entities, collapse whitespace. Boilerplate/main-content
+# detection (the Leo cleaner) is out of scope with the external-model
+# stack. Two equivalent implementations: a JVM column chain (common five
+# entities) and a pandas UDF (full entity table via html.unescape) —
+# equality-tested on the common subset.
+
+_HTML_BLOCKS = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?s)<[^>]+>"
+
+
+def html_to_text_col(col) -> Column:
+    """JVM chain: blocks/comments/tags stripped, the five predefined XML
+    entities + nbsp decoded, whitespace collapsed."""
+    c = _c(col)
+    c = F.regexp_replace(c, _HTML_BLOCKS, " ")
+    c = F.regexp_replace(c, _HTML_COMMENT, " ")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text_pandas(s) -> "pd.Series":  # noqa: F821
+    """Pandas implementation (full entity table); for UDF use."""
+    import html as _html
+    import re as _re
+
+    import pandas as pd
+
+    s = pd.Series(s).fillna("")
+    s = s.str.replace(_HTML_BLOCKS, " ", regex=True)
+    s = s.str.replace(_HTML_COMMENT, " ", regex=True)
+    s = s.str.replace(_HTML_TAG, " ", regex=True)
+    s = s.map(_html.unescape)
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()

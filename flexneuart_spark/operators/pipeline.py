@@ -70,3 +70,12 @@ def apply_pipeline(df: DataFrame, stages: list[dict]) -> DataFrame:
             raise ValueError(f"stage {i} ({op}): input column {col!r} not in {df.columns}")
         df = df.withColumn(out, STAGES[op](F.col(col), **conf))
     return df
+
+
+def _html_to_text(col: Column) -> Column:
+    from flexneuart_spark.functions.textproc import html_to_text_col
+
+    return html_to_text_col(col)
+
+
+STAGES["html_to_text"] = _html_to_text  # T7 basic strip path

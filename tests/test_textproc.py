@@ -58,3 +58,43 @@ def test_sdm_combines_components(spark, tmp_path_factory):
         assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
         scores = [x[1] for x in rows]
         assert all(scores[i] >= scores[i + 1] - 1e-12 for i in range(len(scores) - 1))
+
+
+def test_html_to_text_basic(spark):
+    from flexneuart_spark.functions.textproc import html_to_text_col, html_to_text_pandas
+
+    html = (
+        "<html><head><style>p {color:red}</style>"
+        "<script>var x = '<p>';</script></head>"
+        "<!-- a comment --><body><p>Hello &amp; <b>world</b></p>"
+        "<div>a &lt; b &gt; c&nbsp;&quot;q&quot; &#39;s&#39;</div></body></html>"
+    )
+    want = "Hello & world a < b > c \"q\" 's'"
+    # pandas implementation
+    assert html_to_text_pandas([html]).iloc[0] == want
+    # JVM implementation agrees on the common-entity subset
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.createDataFrame([(html,)], ["h"])
+        .select(html_to_text_col("h").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert got == want
+    # empty/None-ish input
+    assert html_to_text_pandas([""]).iloc[0] == ""
+
+
+def test_html_to_text_in_pipeline(spark):
+    from flexneuart_spark.operators.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([("d1", "<p>Foo <i>bar</i></p>")], ["doc_id", "content"])
+    out = apply_pipeline(
+        df,
+        [
+            {"op": "html_to_text", "col": "content"},
+            {"op": "whitespace_tokens", "col": "content", "out": "tokens"},
+        ],
+    ).collect()[0]
+    assert out.content == "Foo bar" and list(out.tokens) == ["Foo", "bar"]
