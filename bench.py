@@ -135,9 +135,18 @@ def measure_scaling(corpus_path: str) -> tuple[dict, dict, float, list[float]]:
     return thr_best, runs, eff, [round(r, 3) for r in ratios]
 
 
-def measure_query_p50(spark, corpus_path: str) -> tuple[float, str]:
+def _dir_mb(path: str) -> float:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total / 1e6
+
+
+def measure_query_p50(spark, corpus_path: str) -> tuple[float, float, dict]:
     """Per-query latency over the bench index (one search() per query —
-    the reference's per-query ms accounting, BaseQueryApp.java:705-724)."""
+    the reference's per-query ms accounting, BaseQueryApp.java:705-724),
+    plus the built index's storage footprint."""
     from flexneuart_spark.fixtures import make_queries
     from flexneuart_spark.index.builder import build_index
     from flexneuart_spark.search.engine import Searcher
@@ -145,7 +154,12 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, str]:
     idx = tempfile.mkdtemp(prefix="fxn_bench_qidx_", dir=TMP)
     try:
         corpus = spark.read.parquet(corpus_path)
-        build_index(spark, corpus, idx, tokenizer="code")
+        t = build_index(spark, corpus, idx, tokenizer="code")
+        sizes = {
+            "postings_mb": round(_dir_mb(t.postings_dir), 1),
+            "fwd_mb": round(_dir_mb(t.fwd_dir), 1),
+            "dictionary_mb": round(_dir_mb(t.dictionary_dir), 1),
+        }
         s = Searcher(spark, idx, adaptive=False).warm()
         queries = [
             (r.query_id, r.text)
@@ -170,7 +184,7 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, str]:
         t0 = time.time()
         s.search(queries, k=10).count()
         batch_per_query = (time.time() - t0) / len(queries)
-        return statistics.median(lat), batch_per_query
+        return statistics.median(lat), batch_per_query, sizes
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -205,7 +219,7 @@ def main() -> None:
     t_suite0 = time.time()
     qtimes = run_headline(spark)
     suite_sec = round(time.time() - t_suite0, 3)
-    p50, batch_pq = measure_query_p50(spark, corpus_path)
+    p50, batch_pq, index_sizes = measure_query_p50(spark, corpus_path)
     spark.stop()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -232,6 +246,7 @@ def main() -> None:
         "bench_corpus_docs": SCALE_DOCS,
         "bench_corpus_mb": round(corpus_mb, 1),
         "query_p50_sec": round(p50, 4),
+        "index_sizes_mb": index_sizes,
         "query_batch_sec_per_query": round(batch_pq, 4),
     }
 
@@ -249,6 +264,7 @@ def main() -> None:
             f"| Query p50 latency (top-10) | {p50:.3f} s | local[{CPUS}], one search() per query |\n"
             f"| Query batch throughput | {batch_pq:.3f} s/query | whole query set in one pass (reference batch-app shape) |\n"
             f"| Headline suite total | {suite_sec:.1f} s | {len(qtimes)} queries at sf={results['sf']} |\n"
+            f"| Index footprint | postings {index_sizes['postings_mb']} MB, fwd {index_sizes['fwd_mb']} MB, dict {index_sizes['dictionary_mb']} MB | {SCALE_DOCS}-doc / {corpus_mb:.0f} MB corpus (compressed postings = {index_sizes['postings_mb']/corpus_mb*100:.0f}% of raw text) |\n"
         )
         f.write("\nPer-query seconds:\n\n| query | sec |\n|---|---|\n")
         for k, v in qtimes.items():

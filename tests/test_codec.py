@@ -113,3 +113,52 @@ def test_batch_encoder_empty():
     z = np.empty(0, dtype=np.int64)
     out = encode_postings_batch(z, z, z, np.array([0]))
     assert out["payload"] == []
+
+
+# ---------------------------------------------------------------------------
+# Property-based tests (hypothesis) — beyond the reference's test strategy
+# (SURVEY.md §5: the reference has no property-based testing; the codec is
+# the one component where random structure finds corner cases fastest).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=300))
+def test_varint_roundtrip_property(values):
+    a = np.asarray(values, dtype=np.uint64)
+    buf = varint_encode(a)
+    out, end = varint_decode(buf, 0, len(a))
+    assert end == len(buf)
+    assert (out == a).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # ord gap basis
+            st.integers(min_value=1, max_value=10**6),  # tf
+            st.integers(min_value=0, max_value=10**6),  # dl
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_postings_roundtrip_property(rows):
+    # build strictly ascending ords from arbitrary gaps
+    gaps = np.array([r[0] for r in rows], dtype=np.int64)
+    ords = np.cumsum(gaps + 1) - 1
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    dls = np.array([r[2] for r in rows], dtype=np.int64)
+    enc = encode_postings(ords, tfs, dls)
+    d, t, l = decode_postings(enc)
+    assert (d == ords).all() and (t == tfs).all() and (l == dls).all()
+    # batch encoder agrees bit-for-bit when this is the only term
+    from flexneuart_spark.index.codec import encode_postings_batch
+
+    batch = encode_postings_batch(ords, tfs, dls, np.array([0, len(ords)]))
+    assert batch["payload"][0] == enc["payload"]
+    assert list(batch["block_off"][0]) == list(enc["block_off"])

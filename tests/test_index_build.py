@@ -92,3 +92,52 @@ def test_postings_df_consistency(spark, built):
         for r in tables.postings(spark).groupBy("term").agg(F.sum("df_shard").alias("s")).collect()
     }
     assert got == dict(oracle.df)
+
+
+def test_head_term_salting_bounds_shard_postings(spark, tmp_path_factory):
+    """Skew story (north rule 'explicit salting of skewed head terms'):
+    a term occurring in EVERY doc must be split into per-shard posting
+    lists, each bounded by its shard's doc count — no reducer ever sees
+    the whole term — and global df must still be exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n, shards = 400, 8
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"doc{i:04d}" for i in range(n)],
+            "content": [f"def common x{i} y{i % 7}" for i in range(n)],  # 'def'+'common' in all
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("skew_idx"))
+    t = build_index(spark, spark.createDataFrame(pdf), idx, num_shards=shards, tokenizer="code")
+    rows = t.postings(spark).filter(F.col("term") == "common").select("shard", "df_shard").collect()
+    assert len(rows) == shards  # split across every shard
+    per_shard_docs = {
+        r.shard: r.n for r in t.docmap(spark).groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r.df_shard == per_shard_docs[r.shard]  # bounded by shard size
+    assert sum(r.df_shard for r in rows) == n  # exact global df
+    got = {r.term: r.df for r in t.dictionary(spark).filter(F.col("term").isin(["common", "def"])).collect()}
+    assert got == {"common": n, "def": n}
+
+
+def test_max_doc_size_truncation(spark, tmp_path_factory):
+    """F3: content is truncated to max_doc_size BEFORE tokenization
+    (flexneuart/config.py:42 — 32 KiB at ingest), while the sha256
+    invariant covers the FULL original content."""
+    import hashlib
+
+    import pandas as pd
+
+    from flexneuart_spark.functions.tokenize import code_tokenize
+
+    big = ("tok " * 20000).strip()  # 80k chars
+    pdf = pd.DataFrame({"doc_id": ["d1"], "content": [big]})
+    idx = str(tmp_path_factory.mktemp("trunc_idx"))
+    t = build_index(spark, spark.createDataFrame(pdf), idx, num_shards=2, tokenizer="code")
+    row = t.fwd(spark).select("doc_len", "content_sha256").collect()[0]
+    assert row.doc_len == len(code_tokenize(big[:32768]))
+    assert row.doc_len < len(code_tokenize(big))
+    assert row.content_sha256 == hashlib.sha256(big.encode()).hexdigest()
