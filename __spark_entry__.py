@@ -34,3 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE_SQL)
+
+
+# Entries intentionally WITHOUT a DuckDB oracle (non-SQL-expressible:
+# seeded random projections etc.) — the driver records rows-only checks.
+NO_ORACLE_OK = frozenset(k for k in QUERIES_REG if k not in ORACLE_SQL)

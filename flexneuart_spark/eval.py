@@ -84,6 +84,49 @@ def ndcg_at(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def recall_at(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """recall@k (reference ``flexneuart/eval.py::RecallAtK``): relevant
+    retrieved in the top-k ÷ TOTAL relevant in qrels; 0 when the query has
+    no relevant docs."""
+    n_rel = qrels.filter(F.col("grade") > 0).groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    j = _joined(run, qrels).filter(F.col("rank") <= k)
+    hits = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_hit")
+    )
+    return (
+        hits.join(n_rel, "query_id", "left")
+        .withColumn(
+            "recall",
+            F.when(F.coalesce(F.col("n_rel"), F.lit(0)) > 0, F.col("n_hit") / F.col("n_rel")).otherwise(F.lit(0.0)),
+        )
+        .select("query_id", "recall")
+    )
+
+
+def r_precision(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    """R-precision (reference ``flexneuart/eval.py::RPrecisionAtK``):
+    relevant docs within the top-R of the run, R = total relevant for the
+    query, ÷ max(R, 1)."""
+    n_rel = qrels.filter(F.col("grade") > 0).groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    j = _joined(run, qrels).join(n_rel, "query_id", "left").withColumn(
+        "n_rel", F.coalesce(F.col("n_rel"), F.lit(0))
+    )
+    per_q = j.filter(F.col("rank") <= F.col("n_rel")).groupBy("query_id").agg(
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_hit"),
+        F.max("n_rel").alias("n_rel"),
+    )
+    # queries whose top-R window is empty (n_rel = 0) score 0
+    all_q = run.select("query_id").distinct()
+    return (
+        all_q.join(per_q, "query_id", "left")
+        .withColumn(
+            "r_prec",
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.greatest(F.coalesce(F.col("n_rel"), F.lit(0)), F.lit(1)),
+        )
+        .select("query_id", "r_prec")
+    )
+
+
 def evaluate(run: DataFrame, qrels: DataFrame, cutoffs=EVAL_CUTOFFS) -> dict[str, float]:
     """Mean metrics over queries (internal_eval shape). Driver-friendly:
     returns plain floats."""
@@ -92,12 +135,16 @@ def evaluate(run: DataFrame, qrels: DataFrame, cutoffs=EVAL_CUTOFFS) -> dict[str
     out["mrr"] = float(mrr or 0.0)
     ap = average_precision(run, qrels).agg(F.avg("ap")).collect()[0][0]
     out["map"] = float(ap or 0.0)
+    rp = r_precision(run, qrels).agg(F.avg("r_prec")).collect()[0][0]
+    out["r_precision"] = float(rp or 0.0)
     for k in cutoffs:
         if k <= 20:
             p = precision_at(run, qrels, k).agg(F.avg("p")).collect()[0][0]
             out[f"p@{k}"] = float(p or 0.0)
             nd = ndcg_at(run, qrels, k).agg(F.avg("ndcg")).collect()[0][0]
             out[f"ndcg@{k}"] = float(nd or 0.0)
+            rc = recall_at(run, qrels, k).agg(F.avg("recall")).collect()[0][0]
+            out[f"recall@{k}"] = float(rc or 0.0)
     return out
 
 

@@ -61,13 +61,22 @@ def jaccard_near_duplicates(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with n-gram-set Jaccard ≥ threshold.
 
     Candidates come from the shared-shingle self-join; Jaccard is computed
     over the FULL shingle sets (candidate generation never changes the
-    similarity value, only recall when ``max_shingle_df`` is set)."""
+    similarity value, only recall when ``max_shingle_df`` is set).
+
+    ``max_shingle_df`` defaults ON (1000): a shingle shared by d docs
+    contributes O(d²) candidate pairs, so one head shingle (think ``} } }``
+    in a code corpus) makes the self-join quadratic in corpus size. The cap
+    drops those head shingles from candidate generation only — a pair is
+    missed only if ALL its shared shingles are head shingles, which at
+    Jaccard ≥ 0.8 between two ~normal docs essentially never happens. Pass
+    ``None`` to explicitly opt out (exact candidates, unsafe at scale);
+    ``dropped_head_shingles`` reports what the cap removed."""
     sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     cand_sh = sh
@@ -97,6 +106,25 @@ def jaccard_near_duplicates(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def dropped_head_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Audit for the ``max_shingle_df`` guard: the head shingles the cap
+    removes from Jaccard candidate generation and the posting mass dropped
+    — (shingle, sdf). Run alongside ``jaccard_near_duplicates`` when you
+    need the dropped-shingle count in a pipeline report."""
+    sh = shingles(df, text_col, id_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("sdf"))
+        .filter(F.col("sdf") > max_shingle_df)
+    )
 
 
 def minhash_signatures(
@@ -169,28 +197,82 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
 
 
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 6,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs for embedding near-dup.
+
+    Signature = signs of the first ``n_bands * band_bits`` coordinates
+    (axis-aligned hyperplanes — deterministic and SQL-checkable; see
+    ``similarity.rp_signature`` for the seeded random-projection variant).
+    The signature is split into ``n_bands`` bands of ``band_bits``; a pair
+    is a candidate iff it agrees on at least one whole band. For vectors at
+    cosine θ, P(one sign bit agrees) = 1 − θ/π, so at near-dup thresholds
+    (cos ≥ 0.95 ⇒ θ ≤ 18°, p ≈ 0.9) the default 6×4 bands give ≥ 0.995
+    candidate recall while candidate volume stays O(bucket collisions) —
+    never O(n²). Returns DISTINCT (id_a < id_b) pairs only (no vectors):
+    join vectors back by id so the exploded band table stays narrow.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nbits = n_bands * band_bits
+    bits = F.transform(
+        F.slice(v, 1, nbits), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    sig = emb.select(F.col(id_col), bits.alias("bits"))
+    bands = sig.select(
+        F.col(id_col),
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws("", F.slice("bits", F.col("band_idx") * band_bits + 1, band_bits)),
+    ).select(id_col, "band_idx", "band_key")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    n_bands: int = 6,
+    band_bits: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
 
-    This is the exact O(n²) variant for modest n (entries/tests); the
-    scale path buckets by LSH first (similarity.lsh_buckets) and runs the
-    same cosine within buckets."""
+    ``method="lsh"`` (default, the 100 TB path): banded sign-LSH candidate
+    generation (``embedding_lsh_candidates``) then exact cosine on the
+    candidate pairs only — the plan contains no CartesianProduct
+    (asserted by tests/test_plans.py). ``method="exact"`` is the all-pairs
+    O(n²) oracle, for tests and small n only."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e = emb.select(F.col(id_col), v.alias("v"))
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
     e = e.withColumn("nrm", norm)
     a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    if method == "lsh":
+        cand = embedding_lsh_candidates(emb, id_col, vec_col, n_bands, band_bits)
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    elif method == "exact":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown method {method!r} (expected 'lsh' or 'exact')")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        pairs.withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -10,17 +10,25 @@ Spark plan:
   hot path), per-query window top-k. The baseline and the oracle.
 - ``lsh_buckets`` / ``lsh_ann_topk`` — sign-bucket LSH: bucket key from
   the signs of ``nbits`` fixed coordinates (axis-aligned hyperplanes —
-  deterministic and SQL-checkable; swap in a seeded random projection
-  matrix via a pandas UDF for production recall). Candidates are searched
-  only within the query's bucket: the 100 TB path (bucket count scales
-  the candidate set down ~2^nbits).
-- ``ivf_topk`` — IVF-style coarse quantization: the first ``n_cells``
-  vectors act as centroids (deterministic); every vector is assigned to
-  its nearest centroid (broadcast centroid join); queries probe their own
-  cell only (nprobe=1). Exact within the probed cell.
+  deterministic and SQL-checkable). Candidates are searched only within
+  the query's bucket: the 100 TB path (bucket count scales the candidate
+  set down ~2^nbits).
+- ``rp_signature`` / ``rp_ann_topk`` — the production-recall variant:
+  signs of a SEEDED random Gaussian projection (SRP-LSH, Charikar 2002),
+  computed by an Arrow-batched pandas UDF (one BLAS matmul per batch).
+  Not SQL-expressible (seeded matrix), so verified by a recall@k-vs-
+  brute-force pytest instead of a DuckDB oracle.
+- ``ivf_topk`` — IVF-style coarse quantization: centroids are the
+  ``n_cells`` vectors with the smallest md5(id) (deterministic, valid for
+  string ids); every vector is assigned to its nearest centroid
+  (broadcast centroid join); queries probe their ``nprobe`` nearest
+  cells. Exact within the probed cells.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -101,21 +109,104 @@ def lsh_ann_topk(
     )
 
 
-def ivf_assign(
+def rp_signature(
+    emb: DataFrame,
+    nbits: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection signature (SRP-LSH): bucket = signs of
+    ``R @ v`` where R is a dim×nbits standard Gaussian drawn from a seeded
+    generator — every executor derives the identical R, so the operator is
+    deterministic with no broadcast needed. One Arrow batch = one BLAS
+    matmul; no per-row Python. Hyperplanes are isotropic, so P(bit match)
+    = 1 − θ/π holds for ANY input distribution — unlike the axis-aligned
+    ``lsh_buckets``, which degrades when coordinates are correlated."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        rng = np.random.default_rng(seed)
+        proj = rng.standard_normal((mat.shape[1], nbits))
+        bits = (mat @ proj) >= 0.0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return emb.select(F.col(id_col), F.col(vec_col), _sig(F.col(vec_col)).alias("bucket"))
+
+
+def rp_ann_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    nbits: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's SRP-LSH bucket
+    (random-projection signs — the production-recall scale path)."""
+    b = rp_signature(emb, nbits, seed, id_col, vec_col)
+    e = b.select(F.col(id_col), "bucket", _as_double(vec_col).alias("v")).withColumn(
+        "nrm", _norm("v")
+    )
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"), F.col("bucket"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("query_vec_id"))
+        .withColumn("cos_r", F.round(_dot("v", "qv") / (F.col("nrm") * F.col("qn")), 6))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", F.col(id_col).alias("vec_id"), "cos_r", "rank")
+    )
+
+
+def ivf_centroids(
     emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Assign each vector to its nearest of the first ``n_cells`` vectors
-    (deterministic centroids), by cosine. Returns (id, cell)."""
+    """Deterministic centroid pick valid for ANY id type: the ``n_cells``
+    vectors with the smallest md5(id) (a uniform pseudo-random sample with
+    an exact SQL twin). Executes as TakeOrderedAndProject — a bounded
+    top-n, not a global sort. Returns (cell, cv, cn) where ``cell`` is the
+    centroid's own id."""
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
-    cents = e.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    hk = F.md5(F.col(id_col).cast("string"))
+    return (
+        e.withColumn("hk", hk)
+        .orderBy("hk", id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Rank each vector's cells by cosine against the hash-picked centroids
+    (broadcast — n_cells rows). Returns (id, cell, r) for r ≤ nprobe;
+    r=1 is the storage assignment, r ≤ nprobe>1 is the query probe set."""
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
     return (
-        scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1).select(id_col, "cell")
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= nprobe)
+        .select(id_col, "cell", "r")
     )
 
 
@@ -126,17 +217,26 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF nprobe=1: exact cosine among vectors sharing the query's cell."""
-    assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    """IVF ANN: database vectors live in their nearest cell (r=1); each
+    query probes its ``nprobe`` nearest cells and runs exact cosine inside
+    them. Cells partition the corpus, so the probe join yields each
+    candidate once — no dedup needed."""
+    assign = ivf_assign(emb, n_cells, id_col, vec_col, nprobe=max(1, nprobe))
     e = (
-        emb.join(assign, id_col)
+        emb.join(assign.filter(F.col("r") == 1).drop("r"), id_col)
         .select(F.col(id_col), "cell", _as_double(vec_col).alias("v"))
         .withColumn("nrm", _norm("v"))
     )
-    q = e.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_vec_id"), "cell", F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    qv = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv"))
+    probes = (
+        assign.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_vec_id"), "cell")
     )
+    q = probes.join(qv, "query_vec_id")
     scored = (
         e.join(F.broadcast(q), "cell")
         .filter(F.col(id_col) != F.col("query_vec_id"))

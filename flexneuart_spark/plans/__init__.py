@@ -3,17 +3,20 @@ from flexneuart_spark.plans import entries as _core
 from flexneuart_spark.plans import entries_ext as _ext
 from flexneuart_spark.plans import entries_ops as _ops
 from flexneuart_spark.plans import entries_prox as _prox
+from flexneuart_spark.plans import entries_stem as _stem
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
     **_ops.OPS_QUERIES_REG,
     **_prox.PROX_QUERIES_REG,
     **_ext.EXT_QUERIES_REG,
+    **_stem.STEM_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
     **_ops.OPS_ORACLE_SQL,
     **_prox.PROX_ORACLE_SQL,
     **_ext.EXT_ORACLE_SQL,
+    **_stem.STEM_ORACLE_SQL,
 }
 

@@ -500,12 +500,19 @@ FROM documents GROUP BY 1
 
 def q_qrels_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/J3/J7 — derive qrels (grade 1 iff the doc contains ALL distinct
-    query terms), join against the BM25 run, per-query P@10 + MRR@10
-    (eval.py:84-190 cutoff semantics)."""
+    query terms), join against the BM25 run, per-query P@10, MRR@10,
+    recall@10 (hits ÷ TOTAL relevant — reference eval.py::RecallAtK) and
+    R-precision over the retrieved window (hits at rank ≤ R, R = total
+    relevant, ÷ max(R,1) — reference eval.py::RPrecisionAtK; the window is
+    truncated at the run's k=10 like trec_eval on a depth-10 run)."""
     rel = _rel_pairs(spark, sf_dir)
+    n_rel = rel.groupBy("query_id").agg(F.count("*").alias("n_rel"))
     run = _rounded_topk(_bm25_scored(spark, sf_dir))
-    j = run.join(rel.withColumn("rel", F.lit(1)), ["query_id", "doc_id"], "left").fillna(
-        {"rel": 0}
+    j = (
+        run.join(rel.withColumn("rel", F.lit(1)), ["query_id", "doc_id"], "left")
+        .fillna({"rel": 0})
+        .join(F.broadcast(n_rel), "query_id", "left")
+        .fillna({"n_rel": 0})
     )
     return (
         j.groupBy("query_id")
@@ -514,6 +521,14 @@ def q_qrels_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce(F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))), F.lit(0.0)), 6
             ).alias("mrr_at_10"),
+            F.round(
+                F.when(F.max("n_rel") > 0, F.sum("rel") / F.max("n_rel")).otherwise(F.lit(0.0)), 6
+            ).alias("recall_at_10"),
+            F.round(
+                F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= F.col("n_rel")), 1).otherwise(0))
+                / F.greatest(F.max("n_rel"), F.lit(1)),
+                6,
+            ).alias("r_prec"),
         )
     )
 
@@ -521,6 +536,7 @@ def q_qrels_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QRELS_EVAL = rf"""
 WITH {SQL_TOK}, {SQL_QTOK}, {SQL_BM25_SCORED},
 {SQL_REL},
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
 topk AS (
   SELECT query_id, doc_id, round(score, 4) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id DESC) AS INT) AS rank
@@ -529,8 +545,15 @@ topk AS (
 run AS (SELECT * FROM topk WHERE rank <= {K})
 SELECT r.query_id,
        round(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / {K}, 6) AS p_at_10,
-       round(coalesce(max(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / r.rank END), 0.0), 6) AS mrr_at_10
-FROM run r LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+       round(coalesce(max(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / r.rank END), 0.0), 6) AS mrr_at_10,
+       round(CASE WHEN coalesce(max(n.n_rel), 0) > 0
+                  THEN sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / max(n.n_rel)
+                  ELSE 0.0 END, 6) AS recall_at_10,
+       round(sum(CASE WHEN rel.doc_id IS NOT NULL AND r.rank <= coalesce(n.n_rel, 0) THEN 1 ELSE 0 END)
+             * 1.0 / greatest(coalesce(max(n.n_rel), 0), 1), 6) AS r_prec
+FROM run r
+LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+LEFT JOIN nrel n ON r.query_id = n.query_id
 GROUP BY 1
 """
 

@@ -60,7 +60,8 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs (trigrams, τ=0.8) — finds the
-    corpus's planted near-duplicates."""
+    corpus's planted near-duplicates. The head-shingle guard
+    (max_shingle_df=1000) is ON by default — the oracle mirrors it."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.jaccard_near_duplicates(docs, n=3, threshold=0.8)
 
@@ -68,9 +69,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_JACCARD = f"""
 WITH {SQL_TOKLIST}, {SQL_SHINGLES3},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+head AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+csh AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM head)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
@@ -161,18 +164,38 @@ FROM fp GROUP BY 1 HAVING count(*) > 1
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.45 — this synthetic
-    embedding table has no true near-dups; the threshold picks the most
-    similar real pairs so the operator is exercised non-trivially)."""
+    """Embedding-cosine near-dup pairs via the DEFAULT banded sign-LSH
+    candidate path (no CartesianProduct in the plan — the 100 TB posture).
+    cos ≥ 0.45: this synthetic embedding table has no true near-dups; the
+    threshold picks the most similar real pairs so the operator is
+    exercised non-trivially. Band shape 8×2 over the first 16 coords gives
+    ≈0.99 candidate recall at this low threshold (at the production
+    τ=0.95 the default 6×4 shape is ≥0.995)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.embedding_near_duplicates(emb, threshold=0.45)
+    return dedup.embedding_near_duplicates(
+        emb, threshold=0.45, method="lsh", n_bands=8, band_bits=2
+    )
 
 
 SQL_DEDUP_EMBEDDING = f"""
-WITH {SQL_EMB}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH {SQL_EMB},
+sig AS (
+  SELECT vec_id,
+         list_transform(v[1:16], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits
+  FROM emb
+),
+bands AS (
+  SELECT vec_id, band_idx, bits[band_idx * 2 + 1] || bits[band_idx * 2 + 2] AS band_key
+  FROM (SELECT vec_id, bits, unnest(range(0, 8)) AS band_idx FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
-FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+FROM cand c JOIN emb a ON c.id_a = a.vec_id JOIN emb b ON c.id_b = b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
 """
 
@@ -232,24 +255,33 @@ SELECT * FROM ranked WHERE rank <= 5
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (nprobe=1) ANN top-5 with deterministic centroids 0..7."""
+    """IVF ANN top-5: centroids = 8 vectors with smallest md5(id) (valid
+    for any id type), database vectors in their nearest cell, queries
+    probe their nprobe=2 nearest cells."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ivf_topk(emb, EMB_QUERY_IDS, k=5, n_cells=8)
+    return similarity.ivf_topk(emb, EMB_QUERY_IDS, k=5, n_cells=8, nprobe=2)
 
 
 SQL_EMB_IVF_TOPK = f"""
 WITH {SQL_EMB},
-cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb WHERE vec_id < 8),
+cents AS (
+  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
 assign AS (
-  SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, r FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell ASC) AS r
     FROM emb e CROSS JOIN cents c
-  ) WHERE r = 1
+  ) WHERE r <= 2
 ),
-ea AS (SELECT e.*, a.cell FROM emb e JOIN assign a USING (vec_id)),
-q AS (SELECT vec_id AS query_vec_id, cell, v AS qv, nrm AS qn FROM ea WHERE vec_id IN (0,1,2,3,4)),
+ea AS (SELECT e.*, a.cell FROM emb e JOIN assign a ON e.vec_id = a.vec_id AND a.r = 1),
+q AS (
+  SELECT a.vec_id AS query_vec_id, a.cell, e.v AS qv, e.nrm AS qn
+  FROM assign a JOIN emb e ON a.vec_id = e.vec_id
+  WHERE a.vec_id IN (0,1,2,3,4)
+),
 scored AS (
   SELECT q.query_vec_id, e.vec_id,
          round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
@@ -265,6 +297,16 @@ SELECT * FROM ranked WHERE rank <= 5
 
 
 # --- text analysis ---------------------------------------------------------
+
+def q_emb_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (SRP-LSH) ANN top-5 — the production-recall scale
+    path. The seeded Gaussian projection is not SQL-expressible, so this
+    entry has NO DuckDB oracle (driver records rows-only); exactness of
+    the bucketed search vs brute force is covered by
+    tests/test_similarity.py recall assertions."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.rp_ann_topk(emb, EMB_QUERY_IDS, k=5, nbits=6, seed=13)
+
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -400,6 +442,7 @@ OPS_QUERIES_REG = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
     "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_rp_ann": q_emb_rp_ann,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,

@@ -50,7 +50,12 @@ def test_entry_matches_oracle(spark, duck, name):
     sdf = fn(spark, SF_DIR)
     s_cols = sdf.columns
     s_data = [tuple(r) for r in sdf.collect()]
-    assert osql is not None, f"no oracle for {name}"
+    if osql is None:
+        # declared non-SQL-expressible (e.g. seeded random projection):
+        # the driver records a rows-only check; mirror that here
+        assert name in entrymod.NO_ORACLE_OK, f"no oracle for {name}"
+        assert len(s_data) > 0, f"{name}: empty rows-only entry"
+        return
     res = duck.execute(osql)
     d_cols = [d[0] for d in res.description]
     d_data = res.fetchall()

@@ -88,3 +88,24 @@ def test_evaluate_means(spark, ranked, qrels):
     # trec_eval semantics: queries with zero relevant docs (q2) are
     # excluded from the MAP mean → mean over {q1} = 0.5
     assert m["map"] == pytest.approx(0.5)
+
+
+def test_recall_at_k(spark, ranked, qrels):
+    # q1: top-2 = d3(rel), d2 → 1 hit of 2 total rel → 0.5; q2: no rel → 0
+    rc = {r.query_id: r.recall for r in fx_eval.recall_at(ranked, qrels, 2).collect()}
+    assert rc["q1"] == pytest.approx(0.5) and rc["q2"] == 0.0
+    # at k=10 both rel docs can't be found (d9 unretrieved) → still 0.5
+    rc10 = {r.query_id: r.recall for r in fx_eval.recall_at(ranked, qrels, 10).collect()}
+    assert rc10["q1"] == pytest.approx(0.5)
+
+
+def test_r_precision(spark, ranked, qrels):
+    # q1: R = 2 total rel, top-2 contains d3 → 1/2; q2: R=0 → 0 (max(R,1) denom)
+    rp = {r.query_id: r.r_prec for r in fx_eval.r_precision(ranked, qrels).collect()}
+    assert rp["q1"] == pytest.approx(0.5) and rp["q2"] == 0.0
+
+
+def test_evaluate_includes_new_metrics(spark, ranked, qrels):
+    m = fx_eval.evaluate(ranked, qrels, cutoffs=(5,))
+    assert m["r_precision"] == pytest.approx(0.25)  # mean of (0.5, 0)
+    assert m["recall@5"] == pytest.approx(0.25)     # mean of (0.5, 0)

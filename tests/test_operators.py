@@ -107,3 +107,80 @@ def test_exact_duplicates_detects_injected(spark, docs):
     got = dedup.exact_duplicates(dup)
     assert got.count() == 5
     assert {r.n_dups for r in got.collect()} == {2}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_embedding_lsh_default_no_cartesian(spark, emb):
+    # the DEFAULT embedding near-dup path must never plan a CartesianProduct
+    plan = dedup.embedding_near_duplicates(emb, threshold=0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the explicit exact oracle path is the all-pairs join (nested-loop /
+    # cartesian depending on broadcastability) — allowed only there
+    plan_exact = dedup.embedding_near_duplicates(emb, threshold=0.45, method="exact")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in plan_exact or "BroadcastNestedLoopJoin" in plan_exact
+
+
+def test_embedding_lsh_subset_and_recall_of_exact(spark, emb):
+    exact = {(r.id_a, r.id_b): r.cos for r in dedup.embedding_near_duplicates(
+        emb, threshold=0.45, method="exact").collect()}
+    lsh = {(r.id_a, r.id_b): r.cos for r in dedup.embedding_near_duplicates(
+        emb, threshold=0.45, method="lsh", n_bands=8, band_bits=2).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) >= 0.8 * len(exact) > 0  # banded recall at τ=0.45
+
+
+def test_rp_ann_recall_vs_bruteforce(spark):
+    # SRP-LSH's contract is HIGH-similarity retrieval: P(bucket match) =
+    # (1 - θ/π)^nbits, so plant true near-neighbours (cos ≈ 0.995) and
+    # check the rank-1 neighbour survives bucketing for nearly all queries
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        base = rng.standard_normal(32)
+        rows.append((i * 2, [float(x) for x in base]))
+        noisy = base + 0.05 * rng.standard_normal(32)
+        rows.append((i * 2 + 1, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+    brute1 = {(r.query_vec_id, r.vec_id) for r in
+              similarity.cosine_topk(df, qids, k=1).collect()}
+    approx = {(r.query_vec_id, r.vec_id) for r in
+              similarity.rp_ann_topk(df, qids, k=5, nbits=8, seed=13).collect()}
+    # each query's planted twin is its rank-1 brute-force neighbour
+    assert brute1 == {(q, q + 1) for q in qids}
+    assert len(brute1 & approx) >= 8  # ≥80% rank-1 recall at nbits=8
+
+
+def test_ivf_string_ids_and_nprobe_recall(spark, emb):
+    # string ids must work (r1 defect: centroid pick compared id < n_cells)
+    semb = emb.select(F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"), "embedding")
+    qids = ["v0", "v1", "v2", "v3", "v4"]
+    got = similarity.ivf_topk(semb, qids, k=5, n_cells=8, nprobe=2).collect()
+    assert {r.query_vec_id for r in got} == set(qids)
+    assert all(r.vec_id.startswith("v") for r in got)
+    # higher nprobe must not lose neighbours found at lower nprobe
+    got1 = {(r.query_vec_id, r.vec_id, r.rank) for r in
+            similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_cells=8, nprobe=1).collect()}
+    got2 = {(r.query_vec_id, r.vec_id) for r in
+            similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_cells=8, nprobe=2).collect()}
+    brute = {(r.query_vec_id, r.vec_id) for r in similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=5).collect()}
+    # nprobe=2 recall ≥ nprobe=1 recall against brute force
+    r1 = len({(q, v) for q, v, _ in got1} & brute)
+    r2 = len(got2 & brute)
+    assert r2 >= r1
+
+
+def test_dropped_head_shingles_audit(spark, docs):
+    # with a tiny cap the audit reports the head shingles the guard removes
+    dropped = dedup.dropped_head_shingles(docs, max_shingle_df=5).collect()
+    assert all(r.sdf > 5 for r in dropped)
+    assert len(dropped) > 0
