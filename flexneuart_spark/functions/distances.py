@@ -15,8 +15,16 @@ Numpy restatement of ``simil_func/DistanceFunctions.java``:
   sparse probability vectors, merge-join semantics incl. the
   disjoint-id tails (each contributes val·ln 2)
 
-``compEMDLike`` (:445) needs word embeddings + a transport approximation
-and stays out of scope with the neural stack (SURVEY §7.0).
+- :func:`dist_matrix`    — ``compDistMatrix`` (:345): pairwise distance
+  matrix between two embedding lists; missing (None) vectors → +inf rows
+- :func:`emd_like`       — ``compEMDLike`` (:445): the relaxed
+  Word-Mover's-Distance lower bound of Kusner et al. 2015 ("From Word
+  Embeddings To Document Distances") + the reference's three normalized
+  variants; takes a precomputed distance matrix + per-side term counts
+- :func:`lcs_like`       — ``compLCSLike`` (:268): thresholded /
+  fuzzy-similarity / max-sum LCS over a distance matrix (embedding-aware
+  sequence alignment family)
+
 These are reranker-level utilities in the reference (used via feature
 extractors); here they are plain numpy functions usable inside pandas
 UDFs.
@@ -125,3 +133,86 @@ def js_divergence(ids1, vals1, ids2, vals2) -> float:
     res += float((v1[sel1] * np.log(v1[sel1] / m[sel1])).sum())
     res += float((v2[sel2] * np.log(v2[sel2] / m[sel2])).sum())
     return res
+
+
+def dist_matrix(vecs1, vecs2, metric: str = "cosine") -> np.ndarray:
+    """Pairwise distance matrix between two embedding lists
+    (``compDistMatrix`` shape). ``metric``: 'cosine' (1 − cos) or
+    'euclidean'. A None vector yields +inf in its row/column (the
+    reference's null-vector convention)."""
+    n1, n2 = len(vecs1), len(vecs2)
+    out = np.full((n1, n2), np.inf)
+    ok1 = [i for i, v in enumerate(vecs1) if v is not None]
+    ok2 = [j for j, v in enumerate(vecs2) if v is not None]
+    if not ok1 or not ok2:
+        return out
+    a = np.asarray([np.asarray(vecs1[i], dtype=np.float64) for i in ok1])
+    b = np.asarray([np.asarray(vecs2[j], dtype=np.float64) for j in ok2])
+    if metric == "cosine":
+        na = np.linalg.norm(a, axis=1, keepdims=True)
+        nb = np.linalg.norm(b, axis=1, keepdims=True)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        d = 1.0 - (a / na) @ (b / nb).T
+    elif metric == "euclidean":
+        d = np.sqrt(np.maximum(0.0, (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :] - 2.0 * a @ b.T))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    out[np.ix_(ok1, ok2)] = d
+    return out
+
+
+def emd_like(dist_matr: np.ndarray, qtys1, qtys2) -> tuple[float, float, float, float]:
+    """Relaxed-WMD similarity family (``compEMDLike``): for each word the
+    distance to its closest counterpart, tf-weighted and summed per side;
+    returns (max of the two sums — the Kusner et al. lower bound — plus
+    the reference's three normalizations)."""
+    d = np.asarray(dist_matr, dtype=np.float64)
+    q1 = np.asarray(qtys1, dtype=np.float64)
+    q2 = np.asarray(qtys2, dtype=np.float64)
+    n1, n2 = d.shape
+    if n1 == 0 or n2 == 0:
+        return (0.0, 0.0, 0.0, 0.0)
+    min1 = d.min(axis=1)
+    min2 = d.min(axis=0)
+    s1 = float((np.where(np.isfinite(min1), min1, 0.0) * q1).sum())
+    s2 = float((np.where(np.isfinite(min2), min2, 0.0) * q2).sum())
+    return (
+        max(s1, s2),
+        max(s1 / n1, s2 / n2),
+        (s1 / n1 + s2 / n2) / 2.0,
+        (s1 * n1 + s2 * n2) / (n1 + n2),
+    )
+
+
+def lcs_like(dist_matr: np.ndarray, dist_thresh: float) -> tuple[float, float, float]:
+    """Embedding-aware LCS family (``compLCSLike``): one DP over the
+    distance matrix yielding (thresholded LCS, fuzzy LCS — threshold hits
+    weighted by max(0, 2−d)/2 — and the unconstrained max-sum alignment).
+    Row loop with vectorized column scan (cumulative-max recurrence)."""
+    if dist_thresh < 0:
+        raise ValueError("distance threshold must be non-negative")
+    d = np.asarray(dist_matr, dtype=np.float64)
+    n1, n2 = d.shape if d.ndim == 2 else (0, 0)
+    if n1 == 0 or n2 == 0:
+        return (0.0, 0.0, 0.0)
+    score = np.maximum(0.0, 2.0 - d) / 2.0
+    hit = d <= dist_thresh
+    prev = np.zeros((3, n2 + 1))
+    cur = np.zeros((3, n2 + 1))
+    gains = np.empty((3, n2))
+    for i in range(n1):
+        gains[0] = hit[i]
+        gains[1] = np.where(hit[i], score[i], 0.0)
+        gains[2] = score[i]
+        for ch in range(3):
+            # cur[j+1] = max(prev[j+1], cur[j], prev[j] + gain[j]) — the
+            # cur[j] term is a running prefix max, so scan left→right
+            cand = np.maximum(prev[ch][1:], prev[ch][:-1] + gains[ch])
+            run = 0.0
+            c = cur[ch]
+            for j in range(n2):
+                run = max(run, cand[j])
+                c[j + 1] = run
+        prev, cur = cur, prev
+    return (float(prev[0][n2]), float(prev[1][n2]), float(prev[2][n2]))

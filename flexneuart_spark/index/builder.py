@@ -262,12 +262,61 @@ def assign_dense_ids(df: DataFrame, order_col: str, id_col: str, num_parts: int 
     return out
 
 
+def estimate_corpus_bytes(corpus: DataFrame) -> int | None:
+    """Driver-cheap corpus size estimate: sum of the input files' on-disk
+    sizes (local paths only — returns None for object stores or in-memory
+    frames, where the caller should pass explicit stats)."""
+    import os
+    import re
+
+    total = 0
+    try:
+        files = corpus.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    for f in files:
+        p = re.sub(r"^file:/+", "/", f)
+        if not p.startswith("/") or not os.path.exists(p):
+            return None
+        total += os.path.getsize(p)
+    return total
+
+
+def auto_num_shards(
+    total_bytes: int,
+    *,
+    compression_factor: float = 3.0,
+    bytes_per_token: float = 6.0,
+    target_shard_tokens: int = 16_000_000,
+    max_shards: int = 65_536,
+) -> int:
+    """Shard-count sizing rule (the per-shard memory knob).
+
+    The shard postings kernel (``_shard_postings_kernel``) materializes
+    one whole shard's (term, ord, tf, dl) arrays in a single pandas group,
+    so the peak task memory is ~50 bytes × shard tokens; the shard count —
+    not executor count — bounds it. Estimate raw tokens as
+    ``total_bytes × compression_factor / bytes_per_token`` (parquet text
+    compresses ~3×; a code token averages ~5 chars + separator) and size
+    shards to ``target_shard_tokens`` each (16 M tokens ≈ 0.8 GiB peak —
+    fits a 2 GiB-per-core executor with headroom). The formula is
+    monotone in corpus size, so a 100× corpus gets 100× shards and the
+    same per-task footprint; query cost stays flat because search prunes
+    by term first and fans out per shard."""
+    est_tokens = max(1.0, total_bytes * compression_factor / bytes_per_token)
+    import math
+
+    return min(max_shards, max(1, math.ceil(est_tokens / target_shard_tokens)))
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
     index_dir: str,
     *,
-    num_shards: int = DEFAULT_NUM_SHARDS,
+    num_shards: int | None = DEFAULT_NUM_SHARDS,
     tokenizer: str = "code",
     text_col: str = "content",
     resume: bool = False,
@@ -277,13 +326,20 @@ def build_index(
 ) -> IndexTables:
     """Build (or resume) the index. ``only_shards`` restricts the build to
     a shard subset (simulates an interrupted build in tests); ``resume``
-    skips shards already recorded in the lineage table.
+    skips shards already recorded in the lineage table. ``num_shards=None``
+    applies the :func:`auto_num_shards` sizing rule to the estimated
+    corpus size (falling back to ``DEFAULT_NUM_SHARDS`` when the input
+    isn't file-backed).
 
     The fwd table always stores the full token sequence (positional /
     parsedText mode — proximity scoring needs no rebuild);
     ``store_positions`` is accepted for API stability and ignored."""
     tables = IndexTables(index_dir)
     build_id = uuid.uuid4().hex[:12]
+
+    if num_shards is None:
+        est = estimate_corpus_bytes(corpus)
+        num_shards = auto_num_shards(est) if est else DEFAULT_NUM_SHARDS
 
     docs = derive_doc_id(corpus)
     docs = docs.withColumn("shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_shards)).cast("int"))
@@ -424,14 +480,19 @@ def _write_control_table(spark: SparkSession, pdf: pd.DataFrame, path: str, sche
     p = re.sub(r"^file:/+", "/", path) if scheme == "file" else path
     if local:
         try:
+            # convert BEFORE deleting the old table: an Arrow conversion
+            # error must not destroy the existing lineage/dictionary
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
             if os.path.isdir(p):
                 shutil.rmtree(p)
             os.makedirs(p, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{p}/part-00000.parquet")
+            pq.write_table(table, f"{p}/part-00000.parquet")
             with open(f"{p}/_SUCCESS", "w"):
                 pass
             return
-        except OSError:
+        except Exception:
+            # any driver-side failure (OSError, ArrowInvalid, ...) falls
+            # back to the Spark writer, which rewrites the table atomically
             pass
     df = spark.createDataFrame(pdf, schema=schema) if len(pdf) == 0 else spark.createDataFrame(pdf)
     df.coalesce(1).write.mode("overwrite").parquet(path)

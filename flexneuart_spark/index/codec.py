@@ -179,6 +179,11 @@ def encode_postings_batch(
     if n == 0:
         empty: dict = {k: [] for k in ("payload", "block_off", "block_n", "block_max_doc", "block_max_tf", "block_min_dl", "df")}
         return empty
+    if n_terms > 0 and not (np.diff(tb) > 0).all():
+        # an empty term slice (df=0) would silently misalign every
+        # subsequent term's block metadata/payload slices — mirror
+        # encode_postings' strictly-ascending ValueError instead
+        raise ValueError("term_bounds must be strictly ascending (no empty terms)")
 
     df = np.diff(tb)
     # position of each posting within its term

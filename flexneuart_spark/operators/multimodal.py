@@ -41,21 +41,68 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payloads: pd.Series, id_vals: pd.Series) -> pd.DataFrame:
+    """Real decode kernel, used when Pillow is importable: open each
+    payload, report true dimensions and a 4-value mean-intensity feature.
+    Undecodable payloads yield NULL dims (kept, not dropped — the caller
+    filters)."""
+    import io
+
+    import PIL.Image
+
+    widths, heights, feats = [], [], []
+    for b in payloads:
+        try:
+            img = PIL.Image.open(io.BytesIO(bytes(b)))
+            img.load()
+            widths.append(img.width)
+            heights.append(img.height)
+            small = img.convert("L").resize((2, 2))
+            feats.append([float(p) / 255.0 for p in small.getdata()])
+        except Exception:
+            widths.append(None)
+            heights.append(None)
+            feats.append(None)
+    return pd.DataFrame(
+        {
+            "doc_id": id_vals.astype("int64"),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "n_bytes": payloads.map(len).astype("int64"),
+            "feature": feats,
+        }
+    )
+
+
 def decode_images(df: DataFrame, real_decode: bool = False, id_col: str = "doc_id") -> DataFrame:
     """Decode/feature-extract payloads via ``mapInPandas`` (Arrow batches;
     one Python worker per partition — the correct shape for CPU-bound
     decode at scale: repartition upstream to control batch parallelism).
 
-    ``real_decode=True`` raises NotImplementedError (no imaging libs in
-    this container); the default path emits a deterministic fake decode
-    (dims/features derived from payload bytes) so the plumbing is
-    end-to-end testable."""
+    ``real_decode=True`` dispatches on library availability: uses Pillow
+    when importable, raises NotImplementedError otherwise (this runtime
+    ships no imaging libs). The default path emits a deterministic fake
+    decode (dims/features derived from payload bytes) so the plumbing is
+    end-to-end testable either way."""
+    use_pil = real_decode and _pil_available()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
+                if use_pil:
+                    yield _pil_decode(pdf["payload"], pdf[id_col])
+                    continue
                 raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not available in this runtime"
+                    "real image decode requires Pillow — not available in this runtime"
                 )
             payloads = pdf["payload"]
             out = pd.DataFrame(

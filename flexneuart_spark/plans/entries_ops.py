@@ -412,6 +412,42 @@ FROM pb
 """
 
 
+# --- packed binary vectors (reference io/pack.py layout) -------------------
+
+def q_packed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack every embedding into the reference's little-endian dense
+    binary layout (tag <I=0 + dim×<f), unpack it back, and report
+    properties computable from the raw floats — an exact inverse check
+    the DuckDB oracle reproduces without touching bytes. Byte-level
+    layout equality vs the reference struct masks is pytest-covered
+    (tests/test_pack_ranklib.py)."""
+    from flexneuart_spark.io.pack import pack_dense_col, unpack_dense_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    packed = emb.select("vec_id", pack_dense_col("embedding").alias("p"))
+    un = packed.select("vec_id", F.length("p").cast("int").alias("n_bytes"),
+                       unpack_dense_col("p").alias("u"))
+    v = F.transform(F.col("u"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return un.select(
+        "vec_id",
+        "n_bytes",
+        F.size("u").cast("int").alias("dim"),
+        F.round(F.element_at(F.col("u"), 1).cast("double"), 6).alias("first_r"),
+        F.round(l2, 6).alias("l2_r"),
+    )
+
+
+SQL_PACKED_VECTORS = """
+SELECT vec_id,
+       CAST(4 + 4 * len(embedding) AS INT) AS n_bytes,
+       CAST(len(embedding) AS INT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_r,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_r
+FROM embeddings
+"""
+
+
 # --- events (streaming-shaped batch aggregation) ---------------------------
 
 def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +484,7 @@ OPS_QUERIES_REG = {
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "packed_vectors": q_packed_vectors,
     "events_minutely": q_events_minutely,
 }
 
@@ -466,5 +503,6 @@ OPS_ORACLE_SQL = {
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "packed_vectors": SQL_PACKED_VECTORS,
     "events_minutely": SQL_EVENTS_MINUTELY,
 }

@@ -127,9 +127,12 @@ def bm25_sparse_vectors(docs_tok: DataFrame, is_query: bool = False) -> DataFram
         F.col("tf")
         + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doc_len") / F.col("avgdl"))
     )
+    # dfreq is O(vocabulary): do NOT broadcast-hint it (a 100 TB corpus
+    # vocabulary would OOM the driver) — let AQE pick broadcast only when
+    # the measured size allows. stats is a single row: always broadcast.
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", (F.sqrt(idf) * tf_norm).alias("value"))
     )

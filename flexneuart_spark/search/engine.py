@@ -140,6 +140,12 @@ def _search_fast(
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         ids = docmap_bcast.value.get(shard)
+        if ids is None:
+            raise RuntimeError(
+                f"shard {shard} missing from the warmed doc-id map — the index "
+                "was rebuilt with a different shard layout after warm(); call "
+                "warm() again or use the distributed search path"
+            )
         by_term = {row.term: row for row in pdf.itertuples(index=False)}
         out_q, out_d, out_s = [], [], []
         for qid, wts in qweights.items():

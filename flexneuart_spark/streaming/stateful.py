@@ -63,14 +63,18 @@ def _dedup_fn(key, pdfs, state: GroupState):
         for _ in pdfs:  # drain; all rows are duplicates of a seen hash
             pass
         return
-    first = None
+    # deterministic pick: smallest doc_id across ALL chunks — Spark may
+    # deliver one group as several Arrow batches, so the minimum must be
+    # tracked over every pdf, not taken from the first non-empty one
+    first_id = None
     for pdf in pdfs:
-        if first is None and len(pdf):
-            # deterministic pick: smallest doc_id of the batch's group
-            first = pdf.sort_values("doc_id").iloc[0]
+        if len(pdf):
+            m = pdf["doc_id"].min()
+            if first_id is None or m < first_id:
+                first_id = m
     state.update((True,))
-    if first is not None:
-        yield pd.DataFrame({"content_sha256": [key[0]], "doc_id": [first["doc_id"]]})
+    if first_id is not None:
+        yield pd.DataFrame({"content_sha256": [key[0]], "doc_id": [first_id]})
 
 
 def streaming_exact_dedup(docs: DataFrame, text_col: str = "content") -> DataFrame:

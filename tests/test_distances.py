@@ -89,3 +89,70 @@ def test_js_divergence():
     assert js_divergence(ids1, v1, ids2, v2) == pytest.approx(want)
     with pytest.raises(ValueError):
         js_divergence([1], [1.5], [1], [0.5])
+
+
+def test_dist_matrix_cosine_and_nulls():
+    from flexneuart_spark.functions.distances import dist_matrix
+
+    v1 = [[1.0, 0.0], None]
+    v2 = [[1.0, 0.0], [0.0, 1.0]]
+    d = dist_matrix(v1, v2, metric="cosine")
+    assert d[0][0] == pytest.approx(0.0) and d[0][1] == pytest.approx(1.0)
+    assert np.isinf(d[1]).all()  # None vector row → +inf (reference convention)
+    e = dist_matrix([[0.0, 0.0], [3.0, 4.0]], [[0.0, 0.0]], metric="euclidean")
+    assert e[0][0] == pytest.approx(0.0) and e[1][0] == pytest.approx(5.0)
+
+
+def test_emd_like_hand_case():
+    from flexneuart_spark.functions.distances import emd_like
+
+    d = np.array([[0.2, 0.5], [0.4, 0.1]])
+    r = emd_like(d, [1, 2], [1, 1])
+    # s1 = 0.2·1 + 0.1·2 = 0.4 ; s2 = 0.2 + 0.1 = 0.3
+    assert r[0] == pytest.approx(0.4)
+    assert r[1] == pytest.approx(0.2)
+    assert r[2] == pytest.approx(0.175)
+    assert r[3] == pytest.approx(0.35)
+    assert emd_like(np.zeros((0, 0)), [], []) == (0.0, 0.0, 0.0, 0.0)
+
+
+def _lcs_like_bruteforce(d, thresh):
+    # direct (i1, i2) DP per the reference recurrence, O(n²) tables
+    n1, n2 = d.shape
+    res = []
+    for mode in range(3):
+        T = np.zeros((n1 + 1, n2 + 1))
+        for i in range(n1):
+            for j in range(n2):
+                ds = max(0.0, 2.0 - d[i][j]) / 2.0
+                if mode == 0:
+                    g = 1.0 if d[i][j] <= thresh else 0.0
+                elif mode == 1:
+                    g = ds if d[i][j] <= thresh else 0.0
+                else:
+                    g = ds
+                T[i + 1][j + 1] = max(T[i][j + 1], T[i + 1][j], T[i][j] + g)
+        res.append(T[n1][n2])
+    return tuple(res)
+
+
+def test_lcs_like_hand_cases():
+    from flexneuart_spark.functions.distances import lcs_like
+
+    d = np.array([[0.0, 2.0], [2.0, 0.0]])
+    assert lcs_like(d, 0.5) == (2.0, 2.0, 2.0)
+    assert lcs_like(np.array([[1.0]]), 0.5) == (0.0, 0.0, 0.5)
+    with pytest.raises(ValueError):
+        lcs_like(d, -1.0)
+
+
+def test_lcs_like_matches_bruteforce_dp():
+    from flexneuart_spark.functions.distances import lcs_like
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n1, n2 = rng.integers(1, 8, size=2)
+        d = rng.uniform(0, 2.5, size=(int(n1), int(n2)))
+        got = lcs_like(d, 0.8)
+        want = _lcs_like_bruteforce(d, 0.8)
+        assert np.allclose(got, want)

@@ -141,3 +141,29 @@ def test_max_doc_size_truncation(spark, tmp_path_factory):
     assert row.doc_len == len(code_tokenize(big[:32768]))
     assert row.doc_len < len(code_tokenize(big))
     assert row.content_sha256 == hashlib.sha256(big.encode()).hexdigest()
+
+
+def test_auto_num_shards_rule():
+    from flexneuart_spark.index.builder import auto_num_shards
+
+    # 16M-token target: 32 MB parquet (~96 MB raw, ~16M tokens) → 1 shard
+    assert auto_num_shards(32_000_000) == 1
+    # monotone: 100× corpus → 100× shards (same per-task footprint)
+    s1 = auto_num_shards(10_000_000_000)      # ~10 GB parquet
+    s100 = auto_num_shards(1_000_000_000_000)  # ~1 TB parquet
+    assert s100 == pytest.approx(100 * s1, rel=0.02)
+    # bounded
+    assert auto_num_shards(0) == 1
+    assert auto_num_shards(10**18) == 65_536
+
+
+def test_build_with_auto_shards(spark, tmp_path_factory):
+    from flexneuart_spark.fixtures import make_corpus
+    from flexneuart_spark.search import Searcher
+
+    idx = str(tmp_path_factory.mktemp("idx_auto"))
+    # in-memory frame → estimate unavailable → DEFAULT_NUM_SHARDS fallback
+    t = build_index(spark, spark.createDataFrame(make_corpus(120, 3)), idx,
+                    num_shards=None, tokenizer="code")
+    run = Searcher(spark, t).search([("q", "def return")], k=5).collect()
+    assert len(run) == 5
