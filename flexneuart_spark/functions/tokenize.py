@@ -103,6 +103,31 @@ def code_tokens_col(col: Column | str) -> Column:
     return F.filter(F.split(c, _WS), lambda t: t != F.lit(""))
 
 
+def krovetz_tokenize(text: str) -> list[str]:
+    """T2 pipeline as an index/query tokenizer: KrovetzStemParser with an
+    empty stop list (lowercase → drop non-alnum → rule-engine stem), then
+    whitespace split. Stemming happens at INDEX time, matching the
+    reference's upstream-processing contract (all linguistic work before
+    the whitespace index tokenizer)."""
+    from flexneuart_spark.functions.kstem import KrovetzStemParser
+
+    return KrovetzStemParser([])(text or "").split()
+
+
+def krovetz_tokenize_pandas(s: pd.Series) -> pd.Series:
+    from flexneuart_spark.functions.kstem import KrovetzStemParser
+
+    parser = KrovetzStemParser([])
+    return s.fillna("").map(lambda t: parser(t).split())
+
+
+TOKENIZERS = {
+    "code": code_tokenize,
+    "whitespace": whitespace_tokenize,
+    "krovetz": krovetz_tokenize,
+}
+
+
 # ---------------------------------------------------------------------------
 # Per-row invariant (north rule): sha256(content) hex
 # ---------------------------------------------------------------------------

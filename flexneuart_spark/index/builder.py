@@ -88,6 +88,10 @@ def _tokens_udf(tokenizer: str):
     def tok(content: pd.Series) -> pd.Series:
         if tokenizer == "code":
             out = code_tokenize_pandas(content)
+        elif tokenizer == "krovetz":
+            from flexneuart_spark.functions.tokenize import krovetz_tokenize_pandas
+
+            out = krovetz_tokenize_pandas(content)
         else:  # whitespace (T9): split on \s+, drop empties
             out = content.fillna("").str.split(r"\s+", regex=True).map(
                 lambda xs: [t for t in xs if t] if xs is not None else []

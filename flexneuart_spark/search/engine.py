@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flexneuart_spark.config import BM25_B, BM25_K1
-from flexneuart_spark.functions.tokenize import code_tokenize, whitespace_tokenize
+from flexneuart_spark.functions.tokenize import TOKENIZERS
 from flexneuart_spark.index.builder import IndexTables
 from flexneuart_spark.search.scoring import TermPostings, exhaustive_topk, maxscore_topk
 
@@ -206,7 +206,7 @@ class Searcher:
             # leave the session untouched) so that library-internal
             # Searcher construction never flips the caller's AQE.
             spark.conf.set("spark.sql.adaptive.enabled", str(bool(adaptive)).lower())
-        self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
+        self.tokenize = TOKENIZERS[tokenizer]
         self.n_docs, self.total_tokens, self.avgdl = self.tables.stats(spark)
         self._fwd_ids = None
         self._posts = None
@@ -343,7 +343,7 @@ class SegmentedSearcher:
         self.spark = spark
         self.tables = [IndexTables(p) for p in sorted(segment_dirs)]
         self.k1, self.b = k1, b
-        self.tokenize = code_tokenize if tokenizer == "code" else whitespace_tokenize
+        self.tokenize = TOKENIZERS[tokenizer]
         per = [t.stats(spark) for t in self.tables]
         self.n_docs = sum(p[0] for p in per)
         self.total_tokens = sum(p[1] for p in per)

@@ -100,3 +100,28 @@ def test_spark_reads_gz_jsonl_natively(spark, tmp_path):
             f.write(json.dumps({"DOCNO": f"d{i}", "text": f"t {i}"}) + "\n")
     df = spark.read.json(str(p))
     assert df.count() == 10 and set(df.columns) == {"DOCNO", "text"}
+
+
+def test_xml_entry_reader(spark, tmp_path):
+    from flexneuart_spark.io.xmlentries import read_xml_entries
+
+    p = tmp_path / "docs.txt"
+    entries = "".join(
+        f"<DOC>\n<DOCNO>doc{i}</DOCNO>\n<TEXT>body text {i}</TEXT>\n</DOC>\n" for i in range(15)
+    )
+    p.write_text(entries)
+    df = read_xml_entries(spark, str(p))
+    rows = {r.DOCNO: r.TEXT for r in df.collect()}
+    assert len(rows) == 15 and rows["doc3"] == "body text 3"
+
+
+def test_xml_entry_reader_gz(spark, tmp_path):
+    from flexneuart_spark.io.xmlentries import read_xml_entries
+
+    p = tmp_path / "docs.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("<DOC>\n<DOCNO>a</DOCNO>\n<TEXT>alpha</TEXT>\n</DOC>\n")
+        f.write("<DOC>\n<DOCNO>b</DOCNO>\n<TEXT>beta</TEXT>\n</DOC>\n")
+    df = read_xml_entries(spark, str(p))
+    rows = {r.DOCNO: r.TEXT for r in df.collect()}
+    assert rows == {"a": "alpha", "b": "beta"}

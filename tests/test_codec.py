@@ -162,3 +162,17 @@ def test_postings_roundtrip_property(rows):
     batch = encode_postings_batch(ords, tfs, dls, np.array([0, len(ords)]))
     assert batch["payload"][0] == enc["payload"]
     assert list(batch["block_off"][0]) == list(enc["block_off"])
+
+
+def test_batch_encoder_rejects_empty_term_slice():
+    # an empty term slice (df=0) would misalign all later terms' blocks
+    import numpy as np
+    import pytest as _pytest
+
+    from flexneuart_spark.index.codec import encode_postings_batch
+
+    with _pytest.raises(ValueError, match="strictly ascending"):
+        encode_postings_batch(
+            np.array([0, 2, 5]), np.array([1, 1, 1]), np.array([4, 4, 4]),
+            term_bounds=[0, 2, 2, 3],  # middle term is empty
+        )

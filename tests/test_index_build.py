@@ -167,3 +167,30 @@ def test_build_with_auto_shards(spark, tmp_path_factory):
                     num_shards=None, tokenizer="code")
     run = Searcher(spark, t).search([("q", "def return")], k=5).collect()
     assert len(run) == 5
+
+
+def test_build_and_search_with_krovetz_tokenizer(spark, tmp_path_factory):
+    import pandas as pd
+    from flexneuart_spark.search import Searcher
+
+    idx = str(tmp_path_factory.mktemp("idx_kstem"))
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 3,
+            "path": [f"p{i}" for i in range(3)],
+            "commit": ["c"] * 3,
+            "lang": ["txt"] * 3,
+            "content": [
+                "running tests passed quickly",
+                "the test was tried twice",
+                "unrelated words entirely",
+            ],
+        }
+    )
+    t = build_index(spark, spark.createDataFrame(pdf), idx, num_shards=2, tokenizer="krovetz")
+    # index vocabulary is stemmed: 'tests'→'test', 'tried'→'try'
+    terms = {r.term for r in t.dictionary(spark).collect()}
+    assert "test" in terms and "tests" not in terms and "try" in terms
+    # the query side stems identically, so inflected queries match
+    run = Searcher(spark, t, tokenizer="krovetz").search([("q", "testing tries")], k=3).collect()
+    assert {r.doc_id.split(":")[1].split("@")[0] for r in run} == {"p0", "p1"}

@@ -148,3 +148,23 @@ def test_dedup_batch_equivalence(spark, tmp_path, n):
 
     for c, g in pdf.groupby("content"):
         assert got[hashlib.sha256(c.encode()).hexdigest()] == g["doc_id"].min()
+
+
+def test_dedup_fn_min_across_chunks():
+    # a group can arrive as SEVERAL Arrow chunks: the deterministic pick
+    # must be the min doc_id over all of them, not the first chunk's min
+    from flexneuart_spark.streaming.stateful import _dedup_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+    chunks = [
+        pd.DataFrame({"content_sha256": ["h"] * 2, "doc_id": ["d9", "d5"]}),
+        pd.DataFrame({"content_sha256": ["h"], "doc_id": ["d2"]}),
+        pd.DataFrame({"content_sha256": [], "doc_id": []}),
+    ]
+    out = list(_dedup_fn(("h",), iter(chunks), FakeState()))
+    assert len(out) == 1 and out[0]["doc_id"].iloc[0] == "d2"
