@@ -197,6 +197,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup GROUPS: (id, component) where
+    component = the smallest id reachable through the pair graph — the
+    canonical-representative rule every dedup pipeline needs downstream
+    of the pair detectors.
+
+    Iterative min-label propagation: each round joins labels across the
+    (symmetrized) edge list and keeps the per-node minimum; rounds needed
+    = graph diameter, which for near-dup clusters is tiny (pairs are
+    near-cliques). Each round is one shuffle on ``id``; labels are
+    ``localCheckpoint``-ed to truncate lineage (the standard guard for
+    iterative DataFrame algorithms). Converges early via a per-round
+    changed-count check; raises if ``max_iter`` rounds don't converge
+    (pathological chain — at 100 TB raise max_iter, the per-round cost is
+    flat)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "ncomp"), "dst")
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("comp", F.coalesce("nmin", "comp")).alias("new_comp"),
+            F.col("comp").alias("old_comp"),
+        )
+        changed = new.filter(F.col("new_comp") != F.col("old_comp")).count()
+        labels = new.select("id", F.col("new_comp").alias("comp")).localCheckpoint()
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def embedding_lsh_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",

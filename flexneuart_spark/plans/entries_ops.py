@@ -85,6 +85,44 @@ WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.8
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group resolution: connected components over the Jaccard
+    near-dup pair graph (component = min reachable doc_id). Spark side is
+    ITERATIVE min-label propagation (checkpointed loop — diameter-bounded);
+    the oracle is a DuckDB recursive CTE computing the transitive closure.
+    Output: (id, component) for every doc in at least one pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.jaccard_near_duplicates(docs, n=3, threshold=0.8)
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {SQL_TOKLIST}, {SQL_SHINGLES3},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+head AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+csh AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM head)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+r AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, least(a, min(b)) AS component FROM r GROUP BY a
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (8 hashes, bands of 2)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -471,6 +509,7 @@ FROM events GROUP BY 1, 2
 OPS_QUERIES_REG = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -491,6 +530,7 @@ OPS_QUERIES_REG = {
 OPS_ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,

@@ -88,9 +88,14 @@ def test_multimodal_decode_stub(spark, docs):
 
 def test_multimodal_real_decode_gated(spark, docs):
     p = multimodal.attach_payload(docs.limit(2))
-    with pytest.raises(Exception) as ei:
-        multimodal.decode_images(p, real_decode=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+    if multimodal._pil_available():
+        # Pillow present: fake payloads are undecodable → NULL dims kept
+        rows = multimodal.decode_images(p, real_decode=True).collect()
+        assert len(rows) == 2 and all(r.width is None for r in rows)
+    else:
+        with pytest.raises(Exception) as ei:
+            multimodal.decode_images(p, real_decode=True).collect()
+        assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
 
 
 def test_frame_sampling(spark, docs):
@@ -184,3 +189,18 @@ def test_dropped_head_shingles_audit(spark, docs):
     dropped = dedup.dropped_head_shingles(docs, max_shingle_df=5).collect()
     assert all(r.sdf > 5 for r in dropped)
     assert len(dropped) > 0
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # chain 1-2-3-4-5 needs multi-round propagation; 10-11 separate; 20 isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
