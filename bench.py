@@ -56,7 +56,10 @@ HEADLINE = [
     "tfidf_cosine",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_embedding",
     "emb_cosine_topk",
+    "krovetz_stem",
     "text_quality",
     "events_minutely",
 ]
@@ -288,6 +291,25 @@ def main() -> None:
             "  own memory bus, which is what the 1-vs-4 pair models.\n"
             "- Structurally the build has no serial stage: one shuffle, per-shard\n"
             "  independent kernels, driver work is O(shards) rows.\n"
+            "\n100x scale audit (would this plan survive a 1000-executor, 100 TB\n"
+            "corpus?) — per headline family:\n\n"
+            "- bm25_topk: shard count is the only knob that must move —\n"
+            "  `auto_num_shards` grows it linearly with corpus bytes so the\n"
+            "  per-shard postings kernel keeps a ~0.8 GiB ceiling; query cost is\n"
+            "  term-pruned scan + per-shard bounded heap + k*S global merge.\n"
+            "- dedup_jaccard: candidate join is bounded by the default\n"
+            "  max_shingle_df=1000 head-shingle cap (a head shingle contributes\n"
+            "  O(df^2) pairs — the cap makes the worst shingle cost 10^6 pairs,\n"
+            "  independent of corpus size).\n"
+            "- dedup_embedding / dedup_minhash_lsh: banded-LSH candidate\n"
+            "  generation — candidate volume tracks bucket collisions, never n^2;\n"
+            "  plan-asserted free of CartesianProduct.\n"
+            "- dedup_components: rounds = pair-graph diameter (near-cliques for\n"
+            "  dedup), each round one shuffle on id; edges localCheckpoint-ed so\n"
+            "  the detector DAG runs once.\n"
+            "- krovetz_stem: stateless Arrow-batched map, embarrassingly parallel.\n"
+            "- emb_cosine_topk: broadcast query side, linear scan — the exact\n"
+            "  baseline; the ANN entries (LSH/RP/IVF) are the scale path.\n"
         )
 
     print(json.dumps(results))

@@ -6,6 +6,8 @@ JVM column-expression chains — the same slot as the reference's
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -86,3 +88,60 @@ def html_to_text_pandas(s) -> "pd.Series":  # noqa: F821
     s = s.str.replace(_HTML_TAG, " ", regex=True)
     s = s.map(_html.unescape)
     return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+# ---------------------------------------------------------------------------
+# T7b: boilerplate-aware main-content extraction
+# ---------------------------------------------------------------------------
+# The reference's cleaners (utils/CleanerUtil.java wrapping the "Leo"
+# cleaner; flexneuart/ir_datasets/html_parser.py) drop navigation /
+# chrome. Restated here as the published link-density block heuristic
+# (jusText, Pomikálek 2011 / Readability-style): segment on block-level
+# tags, score each block by text length and anchor-text density, keep
+# content-like blocks. Deterministic, dependency-free, pandas-UDF shaped.
+
+_BLOCK_SPLIT = r"(?is)</?(?:p|div|td|th|li|ul|ol|h[1-6]|table|section|article|header|footer|nav|aside|blockquote|br)\b[^>]*>"
+_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def html_main_text(doc: str, min_block_chars: int = 40, max_link_density: float = 0.33) -> str:
+    """Main-content text of one HTML document: blocks shorter than
+    ``min_block_chars`` or with anchor-text density > ``max_link_density``
+    are boilerplate (navigation, chrome, link lists) and dropped."""
+    import html as _html
+    import re as _re
+
+    if not doc:
+        return ""
+    s = _re.sub(_HTML_BLOCKS, " ", doc)
+    s = _re.sub(_HTML_COMMENT, " ", s)
+    out = []
+    for block in _re.split(_BLOCK_SPLIT, s):
+        anchor_text = " ".join(_re.findall(_ANCHOR, block))
+        anchor_len = len(_re.sub(_HTML_TAG, " ", anchor_text).strip())
+        text = _html.unescape(_re.sub(_HTML_TAG, " ", block))
+        text = _re.sub(r"\s+", " ", text).strip()
+        if len(text) < min_block_chars:
+            continue
+        if anchor_len / max(len(text), 1) > max_link_density:
+            continue
+        out.append(text)
+    return "\n".join(out)
+
+
+def html_main_text_pandas(s, min_block_chars: int = 40, max_link_density: float = 0.33) -> "pd.Series":  # noqa: F821
+    import pandas as pd
+
+    return pd.Series(s).fillna("").map(
+        lambda d: html_main_text(d, min_block_chars, max_link_density)
+    )
+
+
+def html_main_text_col(col, min_block_chars: int = 40, max_link_density: float = 0.33) -> Column:
+    """Arrow-batched UDF column for main-content extraction."""
+
+    @F.pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        return html_main_text_pandas(s, min_block_chars, max_link_density)
+
+    return _udf(_c(col))

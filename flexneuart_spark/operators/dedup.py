@@ -220,6 +220,9 @@ def connected_components(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    # materialize ONCE: the pair list usually hangs off an expensive
+    # detector DAG (shingle joins, LSH), which must not re-run per round
+    edges = edges.localCheckpoint()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint()
     for _ in range(max_iter):

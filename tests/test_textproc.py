@@ -98,3 +98,47 @@ def test_html_to_text_in_pipeline(spark):
         ],
     ).collect()[0]
     assert out.content == "Foo bar" and list(out.tokens) == ["Foo", "bar"]
+
+
+def test_html_main_text_drops_boilerplate():
+    from flexneuart_spark.functions.textproc import html_main_text
+
+    page = """
+    <html><head><script>var x=1;</script></head><body>
+    <nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+    <div>This is the main article body with plenty of real sentences inside it,
+    long enough to clear the minimum block size threshold easily.</div>
+    <div>Short.</div>
+    <footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a> copyright</footer>
+    </body></html>
+    """
+    out = html_main_text(page)
+    assert "main article body" in out
+    assert "Home" not in out          # nav: pure link block
+    assert "Short." not in out        # below min block length
+    assert "Privacy" not in out       # footer: link-dense
+    assert html_main_text("") == ""
+
+
+def test_html_main_text_link_density_boundary():
+    from flexneuart_spark.functions.textproc import html_main_text
+
+    # a long block that is mostly links must be dropped even though long
+    links = " ".join(f'<a href="/{i}">navigation link number {i}</a>' for i in range(10))
+    assert html_main_text(f"<div>{links}</div>") == ""
+    # same-length block with links removed is kept
+    text = " ".join(f"navigation link number {i}" for i in range(10))
+    assert "navigation" in html_main_text(f"<div>{text}</div>")
+
+
+def test_html_main_text_spark_column(spark):
+    from flexneuart_spark.functions.textproc import html_main_text_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("<div>A genuinely long paragraph of body copy for the extractor to keep around.</div>"
+          '<nav><a href="/">x</a><a href="/y">y</a></nav>',)],
+        ["html"],
+    )
+    out = df.select(html_main_text_col("html").alias("t")).collect()[0].t
+    assert "body copy" in out and "x" not in out.split()
