@@ -327,6 +327,7 @@ def build_index(
     only_shards: list[int] | None = None,
     max_doc_size: int = MAX_DOC_SIZE,
     store_positions: bool = True,
+    pretokenized: bool = False,
 ) -> IndexTables:
     """Build (or resume) the index. ``only_shards`` restricts the build to
     a shard subset (simulates an interrupted build in tests); ``resume``
@@ -334,6 +335,11 @@ def build_index(
     applies the :func:`auto_num_shards` sizing rule to the estimated
     corpus size (falling back to ``DEFAULT_NUM_SHARDS`` when the input
     isn't file-backed).
+
+    ``pretokenized=True`` takes a corpus that already carries a ``tokens``
+    array column (and optionally ``content_sha256``) and skips the
+    tokenizer — the segment-compaction path (streaming/incremental.py)
+    rebuilds from stored forward indexes without re-tokenizing.
 
     The fwd table always stores the full token sequence (positional /
     parsedText mode — proximity scoring needs no rebuild);
@@ -372,13 +378,29 @@ def build_index(
 
     # ---- Stage 1: forward index — tokenize on the input splits, no
     # pre-shuffle of raw content (module docstring).
-    tok = _tokens_udf(tokenizer)
-    fwd = (
-        docs.withColumn("tokens", tok(F.substring(F.col(text_col), 1, max_doc_size)))
-        .withColumn("doc_len", F.size("tokens").cast("long"))
-        .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
-        .select("shard", "doc_id", "tokens", "doc_len", "content_sha256")
-    )
+    if pretokenized:
+        if "tokens" not in docs.columns:
+            raise ValueError("pretokenized=True requires a 'tokens' array column")
+        sha = (
+            F.col("content_sha256")
+            if "content_sha256" in docs.columns
+            else F.lit(None).cast("string")
+        )
+        fwd = docs.select(
+            "shard",
+            "doc_id",
+            "tokens",
+            F.size("tokens").cast("long").alias("doc_len"),
+            sha.alias("content_sha256"),
+        )
+    else:
+        tok = _tokens_udf(tokenizer)
+        fwd = (
+            docs.withColumn("tokens", tok(F.substring(F.col(text_col), 1, max_doc_size)))
+            .withColumn("doc_len", F.size("tokens").cast("long"))
+            .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+            .select("shard", "doc_id", "tokens", "doc_len", "content_sha256")
+        )
     from pyspark import StorageLevel
 
     # Repartition AFTER tokenizing (compact arrays, not raw content): one

@@ -68,3 +68,37 @@ def start_incremental_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_segments(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    segment_dirs: list[str] | None = None,
+    num_shards: int | None = None,
+):
+    """Merge segments into ONE index (the Lucene merge analogue) WITHOUT
+    re-tokenizing: reads the segments' stored forward indexes (token
+    sequences + sha256) and rebuilds via ``build_index(pretokenized=True)``
+    — ordinals are reassigned per shard, postings re-encoded, global
+    stats recomputed from scratch, so the compacted index is
+    score-identical to a monolithic build over the union corpus (tested).
+
+    Cost: the postings kernel + one shuffle — the tokenizer pass (the
+    other large cost at build time) is skipped entirely. Returns the new
+    ``IndexTables``; the caller swaps it in and deletes old segments."""
+    from flexneuart_spark.index.builder import IndexTables
+
+    segs = segment_dirs if segment_dirs is not None else list_segments(root)
+    if not segs:
+        raise ValueError(f"no segments under {root}")
+    union = None
+    for seg in segs:
+        fwd = spark.read.parquet(IndexTables(seg).fwd_dir).select(
+            "doc_id", "tokens", "content_sha256"
+        )
+        union = fwd if union is None else union.unionByName(fwd)
+    kwargs = {} if num_shards is None else {"num_shards": num_shards}
+    if num_shards is None:
+        kwargs["num_shards"] = DEFAULT_NUM_SHARDS
+    return build_index(spark, union, out_dir, pretokenized=True, **kwargs)

@@ -55,3 +55,28 @@ def test_streaming_segments_match_monolithic(spark, tmp_path):
     for key in a:
         assert a[key][0] == b[key][0], (key, a[key], b[key])
         assert abs(a[key][1] - b[key][1]) < 1e-6
+
+
+def test_compact_segments_matches_monolithic(spark, tmp_path):
+    from flexneuart_spark.streaming.incremental import compact_segments
+
+    corpus = make_corpus(n_docs=200, seed=7)
+    root = str(tmp_path / "root")
+    # two directly-built segments (same layout the stream produces)
+    for i, sl in enumerate((corpus.iloc[:100], corpus.iloc[100:])):
+        build_index(spark, spark.createDataFrame(sl), f"{root}/segments/{i:06d}", num_shards=4)
+
+    compacted = compact_segments(spark, root, str(tmp_path / "compacted"), num_shards=4)
+    mono = build_index(spark, spark.createDataFrame(corpus), str(tmp_path / "mono"), num_shards=4)
+
+    cs, ms = Searcher(spark, compacted), Searcher(spark, mono)
+    assert cs.n_docs == ms.n_docs == 200
+    assert cs.avgdl == pytest.approx(ms.avgdl, rel=1e-12)
+    queries = [(r.query_id, r.text) for r in make_queries(8, seed=9).itertuples(index=False) if r.text]
+    got = sorted(map(tuple, cs.search(queries, k=10).collect()))
+    want = sorted(map(tuple, ms.search(queries, k=10).collect()))
+    assert got == want  # compaction is score- and rank-identical
+    # sha256 invariant survives compaction (north rule: per-row content sha)
+    sha_c = {r.doc_id: r.content_sha256 for r in compacted.docmap(spark).collect()}
+    sha_m = {r.doc_id: r.content_sha256 for r in mono.docmap(spark).collect()}
+    assert sha_c == sha_m
