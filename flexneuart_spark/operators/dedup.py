@@ -79,17 +79,29 @@ def jaccard_near_duplicates(
     ``dropped_head_shingles`` reports what the cap removed."""
     sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    cand_sh = sh
+    # Candidate generation in ONE shuffle: group ids per shingle, expand
+    # the C(df,2) ordered pairs JVM-side (nested transform over the sorted
+    # id list — no self-join, so the shingle table is shuffled once, not
+    # twice). The df cap bounds the expansion at C(cap,2) per shingle —
+    # the skew guard AND the memory bound of the posting-list expansion.
+    posting = sh.groupBy("shingle").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    posting = posting.filter(F.size("ids") >= 2)
     if max_shingle_df is not None:
-        common = (
-            sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(F.col("sdf") > max_shingle_df)
+        posting = posting.filter(F.size("ids") <= max_shingle_df)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids")),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
+                ),
+            ),
         )
-        cand_sh = sh.join(F.broadcast(common), "shingle", "left_anti")
-    a = cand_sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = cand_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -69,7 +69,7 @@ def _sql_stem_many(words: list[str]) -> list[str]:
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.lists(st.text(alphabet="abcdefghistuvz", min_size=1, max_size=10), min_size=1, max_size=20))
+@given(st.lists(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12), min_size=1, max_size=20))
 def test_sql_twin_matches_python(words):
     got = _sql_stem_many(words)
     want = [kstem_word(w) for w in words]
