@@ -57,12 +57,18 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_embedding",
     "emb_cosine_topk",
     "krovetz_stem",
     "text_quality",
     "events_minutely",
 ]
+# dedup_embedding is deliberately NOT a headline: its entry runs the
+# banded-LSH path at τ=0.45 — a threshold chosen so the synthetic corpus
+# yields nonzero pairs, but one where ANY candidate generator (LSH or
+# all-pairs) degenerates toward n² because τ=0.45 is close to the random-
+# pair cosine. The operator's scale posture at its real thresholds
+# (τ≥0.9) is enforced structurally instead: plan-asserted no
+# CartesianProduct + banded candidate volume (tests/test_operators.py).
 
 
 def _spark(master: str, shuffle: int):

@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 from flexneuart_spark.functions.tokenize import whitespace_tokens_col
 
 
+def _ordered_pairs(ids):
+    """All (id_a < id_b) pair structs from a SORTED id array — JVM-side
+    nested transform, the in-map half of the one-shuffle candidate
+    pattern shared by the Jaccard / MinHash / embedding-LSH generators."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(F.element_at(ids, i).alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_dups, min_doc_id)."""
     h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
@@ -88,19 +103,8 @@ def jaccard_near_duplicates(
     posting = posting.filter(F.size("ids") >= 2)
     if max_shingle_df is not None:
         posting = posting.filter(F.size("ids") <= max_shingle_df)
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, F.size("ids")),
-                lambda y: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
-                ),
-            ),
-        )
-    )
     inter = (
-        posting.select(F.explode(pair_structs).alias("p"))
+        posting.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
@@ -171,11 +175,14 @@ def minhash_lsh_candidates(
     bands = band.groupBy(id_col, "band_idx").agg(
         F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key")
     )
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    # bucket-grouped pair expansion (no self-join — one shuffle, see
+    # jaccard_near_duplicates for the pattern)
+    buckets = bands.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") >= 2)
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_bands_shared"))
     )
@@ -290,12 +297,12 @@ def embedding_lsh_candidates(
         "band_key",
         F.concat_ws("", F.slice("bits", F.col("band_idx") * band_bits + 1, band_bits)),
     ).select(id_col, "band_idx", "band_key")
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    buckets = bands.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") >= 2)
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
