@@ -292,6 +292,46 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_emb_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-5: the query's bucket plus every
+    Hamming-1 neighbour bucket (Lv et al. 2007 recall boost)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_ann_topk(emb, EMB_QUERY_IDS, k=5, nbits=8, multi_probe=True)
+
+
+SQL_EMB_LSH_MULTIPROBE = f"""
+WITH {SQL_EMB},
+bkt AS (
+  SELECT vec_id, v, nrm,
+         list_aggregate(list_transform(v[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                        'string_agg', '') AS bucket
+  FROM emb
+),
+q0 AS (SELECT vec_id AS query_vec_id, bucket, v AS qv, nrm AS qn FROM bkt WHERE vec_id IN (0,1,2,3,4)),
+q AS (
+  SELECT query_vec_id, bucket, qv, qn FROM q0
+  UNION ALL
+  SELECT query_vec_id,
+         substr(bucket, 1, j - 1)
+           || (CASE substr(bucket, j, 1) WHEN '1' THEN '0' ELSE '1' END)
+           || substr(bucket, j + 1, 8) AS bucket,
+         qv, qn
+  FROM (SELECT query_vec_id, bucket, qv, qn, unnest(range(1, 9)) AS j FROM q0)
+),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
+  FROM bkt e JOIN q USING (bucket) WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: centroids = 8 vectors with smallest md5(id) (valid
     for any id type), database vectors in their nearest cell, queries
@@ -516,6 +556,7 @@ OPS_QUERIES_REG = {
     "dedup_embedding": q_dedup_embedding,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
+    "emb_lsh_multiprobe": q_emb_lsh_multiprobe,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_rp_ann": q_emb_rp_ann,
     "text_token_counts": q_text_token_counts,
@@ -537,6 +578,7 @@ OPS_ORACLE_SQL = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_lsh_ann": SQL_EMB_LSH_ANN,
+    "emb_lsh_multiprobe": SQL_EMB_LSH_MULTIPROBE,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -204,3 +204,15 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    qids = [0, 1, 2, 3, 4]
+    brute = {(r.query_vec_id, r.vec_id) for r in similarity.cosine_topk(emb, qids, k=5).collect()}
+    single = {(r.query_vec_id, r.vec_id) for r in
+              similarity.lsh_ann_topk(emb, qids, k=5, nbits=8).collect()}
+    multi = {(r.query_vec_id, r.vec_id) for r in
+             similarity.lsh_ann_topk(emb, qids, k=5, nbits=8, multi_probe=True).collect()}
+    # multi-probe candidates are a superset of single-probe's buckets, so
+    # recall vs brute force can only improve
+    assert len(multi & brute) >= len(single & brute)
