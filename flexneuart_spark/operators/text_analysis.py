@@ -34,21 +34,33 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic doc quality: avg token length, type-token ratio, and a
-    combined score — the standard cheap pre-filter for web-scale corpora."""
+    """Heuristic doc quality: avg token length, type-token ratio,
+    punctuation ratio (non-alnum-non-space chars / chars) and stopword
+    ratio — the standard cheap pre-filters for web-scale corpora. All JVM
+    column expressions; combined score = length-saturation × TTR."""
     toks = whitespace_tokens_col(text_col)
-    t = df.select(F.col(id_col), toks.alias("_t"))
+    t = df.select(F.col(id_col), F.col(text_col).alias("_x"), toks.alias("_t"))
     n = F.size("_t")
     n_uniq = F.size(F.array_distinct("_t"))
     tok_chars = F.aggregate(F.transform("_t", F.length), F.lit(0), lambda a, x: a + x)
     avg_len = F.when(n > 0, tok_chars / n).otherwise(F.lit(0.0))
     ttr = F.when(n > 0, n_uniq / n).otherwise(F.lit(0.0))
+    n_chars = F.length("_x")
+    n_punct = F.length(F.regexp_replace("_x", r"[A-Za-z0-9\s]+", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter("_t", lambda x: x.isin(QUALITY_STOPWORDS)))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
     return t.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(F.least(F.lit(1.0), n / F.lit(100.0)) * ttr, 6).alias("quality"),
     )
 

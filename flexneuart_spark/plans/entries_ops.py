@@ -405,17 +405,29 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.quality_score(docs)
 
 
-SQL_TEXT_QUALITY = f"""
-WITH {SQL_TOKLIST}
+_Q_STOPS_SQL = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "is", "to", "in"])
+
+SQL_TEXT_QUALITY = rf"""
+WITH tl AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+)
 SELECT doc_id,
        CAST(len(l) AS BIGINT) AS n_tokens,
        round(CASE WHEN len(l) > 0
              THEN list_sum(list_transform(l, x -> len(x))) * 1.0 / len(l) ELSE 0.0 END, 6) AS avg_token_len,
        round(CASE WHEN len(l) > 0
              THEN len(list_distinct(l)) * 1.0 / len(l) ELSE 0.0 END, 6) AS type_token_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(l) > 0
+             THEN len(list_filter(l, x -> list_contains([{_Q_STOPS_SQL}], x))) * 1.0 / len(l)
+             ELSE 0.0 END, 6) AS stopword_ratio,
        round(least(1.0, len(l) / 100.0)
              * (CASE WHEN len(l) > 0 THEN len(list_distinct(l)) * 1.0 / len(l) ELSE 0.0 END), 6) AS quality
-FROM toklist
+FROM tl
 """
 
 
