@@ -251,13 +251,16 @@ def connected_components(
             .agg(F.min("ncomp").alias("nmin"))
             .withColumnRenamed("src", "id")
         )
+        # ONE materialization per round: checkpoint the (new, old) pair,
+        # then both the convergence count and next round's labels are
+        # cheap reads of the checkpointed data
         new = labels.join(nbr_min, "id", "left").select(
             "id",
             F.least("comp", F.coalesce("nmin", "comp")).alias("new_comp"),
             F.col("comp").alias("old_comp"),
-        )
+        ).localCheckpoint()
         changed = new.filter(F.col("new_comp") != F.col("old_comp")).count()
-        labels = new.select("id", F.col("new_comp").alias("comp")).localCheckpoint()
+        labels = new.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
             return labels.select(F.col("id"), F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
