@@ -101,6 +101,114 @@ def _tokens_udf(tokenizer: str):
     return tok
 
 
+def _arrow_postings_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("term", pa.string()),
+            ("df_shard", pa.int64()),
+            ("payload", pa.binary()),
+            ("block_off", pa.list_(pa.int64())),
+            ("block_n", pa.list_(pa.int32())),
+            ("block_max_doc", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int64())),
+            ("block_min_dl", pa.list_(pa.int64())),
+        ]
+    )
+
+
+def _shard_postings_kernel_arrow(tbl):
+    """Arrow-native twin of :func:`_shard_postings_kernel` (used via
+    ``applyInArrow`` — Spark 4): the token stream stays in Arrow the whole
+    way. ``list_flatten`` hands us the already-concatenated flat token
+    array (the pandas path pays a per-row object-array conversion plus an
+    ``np.concatenate`` for the same thing), ``dictionary_encode`` runs the
+    factorize in C, and every output column is built zero-copy from the
+    flat codec arrays (``encode_postings_batch(flat=True)``) via
+    ``ListArray.from_arrays`` / ``Array.from_buffers`` — no per-term
+    Python objects at any point. Equivalence with the pandas kernel is
+    pinned by tests/test_codec.py + the build tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = _arrow_postings_schema()
+    if tbl.num_rows == 0:
+        return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+    shard = tbl.column("shard")[0].as_py()
+    ords = tbl.column("ord").to_numpy().astype(np.int64)
+    dls = tbl.column("doc_len").to_numpy().astype(np.int64)
+    toks = tbl.column("tokens")
+    reps = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+    all_ords = np.repeat(ords, reps)
+    all_dls = np.repeat(dls, reps)
+
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    dictionary = denc.dictionary
+    vorder = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[vorder] = np.arange(len(dictionary), dtype=np.int64)
+    codes = rank[codes]
+
+    m = np.int64(int(ords.max()) + 1)
+    key = codes * m + all_ords
+    o2 = np.argsort(key)
+    ks = key[o2]
+    newpair = np.empty(len(ks), dtype=bool)
+    newpair[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=newpair[1:])
+    starts = np.flatnonzero(newpair)
+    tf = np.diff(np.append(starts, len(ks)))
+    gkey = ks[starts]
+    gcode = gkey // m
+    gord = gkey - gcode * m
+    gdl = all_dls[o2[starts]]
+
+    tb = np.flatnonzero(np.r_[True, gcode[1:] != gcode[:-1]])
+    tbounds = np.append(tb, len(gcode))
+    enc = encode_postings_batch(gord, tf, gdl, tbounds, flat=True)
+    n_terms = len(tb)
+
+    payload_all = enc["payload_all"]
+    if len(payload_all) >= 2**31:
+        raise ValueError(
+            f"shard {shard} payload {len(payload_all)} B exceeds the 2 GiB "
+            "Arrow binary limit — raise num_shards (auto_num_shards sizes "
+            "shards far below this)"
+        )
+    offsets32 = pa.array(enc["term_blk_bounds"].astype(np.int32), type=pa.int32())
+
+    def lst(vals, patype):
+        return pa.ListArray.from_arrays(offsets32, pa.array(vals, type=patype))
+
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        n_terms,
+        [None, pa.py_buffer(enc["term_byte_bounds"].astype(np.int32).tobytes()), pa.py_buffer(payload_all)],
+    )
+    term_col = dictionary.take(pa.array(vorder[gcode[tb]], type=pa.int64()))
+    return pa.table(
+        {
+            "shard": pa.array(np.full(n_terms, shard, dtype=np.int32), type=pa.int32()),
+            "term": term_col,
+            "df_shard": pa.array(enc["df"], type=pa.int64()),
+            "payload": payload,
+            "block_off": lst(enc["block_off"], pa.int64()),
+            "block_n": lst(enc["block_n"], pa.int32()),
+            "block_max_doc": lst(enc["block_max_doc"], pa.int64()),
+            "block_max_tf": lst(enc["block_max_tf"], pa.int64()),
+            "block_min_dl": lst(enc["block_min_dl"], pa.int64()),
+        }
+    )
+
+
 def _shard_postings_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Build ALL posting lists of one shard in a single vectorized pass
     (applyInPandas over groupBy(shard); input: ord, tokens, doc_len).
@@ -435,11 +543,15 @@ def build_index(
     )
 
     # ---- Stage 2: inverted postings, one vectorized pass per shard.
-    plist = (
-        fwdp.select("shard", "ord", "doc_len", "tokens")
-        .groupBy("shard")
-        .applyInPandas(_shard_postings_kernel, _POSTINGS_SCHEMA)
-    )
+    # Arrow-native kernel when the runtime has applyInArrow (Spark 4):
+    # skips the Arrow→pandas object conversion of the token lists — the
+    # flat token values feed dictionary_encode directly. Same output
+    # (schema, order, bytes); pandas kernel kept as the fallback.
+    grouped = fwdp.select("shard", "ord", "doc_len", "tokens").groupBy("shard")
+    if hasattr(grouped, "applyInArrow"):
+        plist = grouped.applyInArrow(_shard_postings_kernel_arrow, _POSTINGS_SCHEMA)
+    else:
+        plist = grouped.applyInPandas(_shard_postings_kernel, _POSTINGS_SCHEMA)
     (
         plist.sortWithinPartitions("shard", "term")  # row-group stats → term pushdown at query time
         .write.mode("overwrite")

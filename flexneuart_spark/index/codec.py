@@ -156,6 +156,7 @@ def encode_postings_batch(
     gdl: np.ndarray,
     term_bounds: np.ndarray,
     block: int = POSTING_BLOCK,
+    flat: bool = False,
 ) -> dict:
     """Encode MANY terms' postings in one vectorized pass.
 
@@ -177,6 +178,19 @@ def encode_postings_batch(
     n = len(gord)
     n_terms = len(tb) - 1
     if n == 0:
+        if flat:
+            z64 = np.empty(0, dtype=np.int64)
+            return {
+                "payload_all": b"",
+                "term_byte_bounds": np.zeros(1, dtype=np.int64),
+                "term_blk_bounds": np.zeros(1, dtype=np.int64),
+                "block_off": z64,
+                "block_n": np.empty(0, dtype=np.int32),
+                "block_max_doc": z64,
+                "block_max_tf": z64,
+                "block_min_dl": z64,
+                "df": z64,
+            }
         empty: dict = {k: [] for k in ("payload", "block_off", "block_n", "block_max_doc", "block_max_tf", "block_min_dl", "df")}
         return empty
     if n_terms > 0 and not (np.diff(tb) > 0).all():
@@ -234,21 +248,39 @@ def encode_postings_batch(
     block_max_tf = np.maximum.reduceat(gtf, blk_starts)
     block_min_dl = np.minimum.reduceat(gdl, blk_starts)
 
-    mv = memoryview(payload_all)
-    out: dict = {
-        "payload": [], "block_off": [], "block_n": [], "block_max_doc": [],
-        "block_max_tf": [], "block_min_dl": [], "df": df.tolist(),
-    }
     rel_off = blk_byte_start - term_byte_start[np.repeat(np.arange(n_terms), n_blocks_per_term)]
-    for i in range(n_terms):
-        bs, be = term_blk_bounds[i], term_blk_bounds[i + 1]
-        out["payload"].append(bytes(mv[int(blk_byte_start[bs]): int(blk_byte_end[be - 1])]))
-        out["block_off"].append(rel_off[bs:be].tolist())
-        out["block_n"].append(blk_len[bs:be].astype(np.int32).tolist())
-        out["block_max_doc"].append(block_max_doc[bs:be].tolist())
-        out["block_max_tf"].append(block_max_tf[bs:be].tolist())
-        out["block_min_dl"].append(block_min_dl[bs:be].tolist())
-    return out
+    if flat:
+        # zero-copy shape for the Arrow kernel: flat per-block arrays +
+        # the per-term block offsets, plus the ONE contiguous payload
+        # buffer and per-term byte offsets (terms are adjacent in it)
+        term_byte_bounds = np.append(term_byte_start, vends[-1] if len(vends) else 0)
+        return {
+            "payload_all": payload_all,
+            "term_byte_bounds": term_byte_bounds.astype(np.int64),
+            "term_blk_bounds": term_blk_bounds.astype(np.int64),
+            "block_off": rel_off,
+            "block_n": blk_len.astype(np.int32),
+            "block_max_doc": block_max_doc,
+            "block_max_tf": block_max_tf,
+            "block_min_dl": block_min_dl,
+            "df": df,
+        }
+    mv = memoryview(payload_all)
+    # per-term outputs as array VIEWS (np.split), not element-wise
+    # .tolist() — the per-element Python-int conversion dominated kernel
+    # time on vocab-heavy shards; Arrow converts ndarray cells directly
+    pay_start = blk_byte_start[term_blk_bounds[:-1]]
+    pay_end = blk_byte_end[term_blk_bounds[1:] - 1]
+    cuts = term_blk_bounds[1:-1]
+    return {
+        "payload": [bytes(mv[int(a): int(b)]) for a, b in zip(pay_start, pay_end)],
+        "block_off": np.split(rel_off, cuts),
+        "block_n": np.split(blk_len.astype(np.int32), cuts),
+        "block_max_doc": np.split(block_max_doc, cuts),
+        "block_max_tf": np.split(block_max_tf, cuts),
+        "block_min_dl": np.split(block_min_dl, cuts),
+        "df": df,
+    }
 
 
 def decode_block(payload: bytes, off: int, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

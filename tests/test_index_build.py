@@ -194,3 +194,39 @@ def test_build_and_search_with_krovetz_tokenizer(spark, tmp_path_factory):
     # the query side stems identically, so inflected queries match
     run = Searcher(spark, t, tokenizer="krovetz").search([("q", "testing tries")], k=3).collect()
     assert {r.doc_id.split(":")[1].split("@")[0] for r in run} == {"p0", "p1"}
+
+
+def test_arrow_kernel_equals_pandas_kernel(spark, tmp_path_factory):
+    # the two stage-2 kernels must produce byte-identical postings tables
+    from pyspark.sql import functions as F
+
+    from flexneuart_spark.fixtures import make_corpus
+    from flexneuart_spark.index import builder as B
+
+    corpus = spark.createDataFrame(make_corpus(150, 11))
+    docs = B.derive_doc_id(corpus).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)).cast("int")
+    )
+    tok = B._tokens_udf("code")
+    fwd = (
+        docs.withColumn("tokens", tok(F.substring(F.col("content"), 1, 32768)))
+        .withColumn("doc_len", F.size("tokens").cast("long"))
+        .select("shard", "doc_id", "tokens", "doc_len")
+    )
+    from pyspark.sql import Window
+
+    fwdp = (
+        fwd.repartition(4, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .withColumn("ord", F.row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long") - 1)
+        .select("shard", "ord", "doc_len", "tokens")
+        .persist()
+    )
+    a = fwdp.groupBy("shard").applyInArrow(B._shard_postings_kernel_arrow, B._POSTINGS_SCHEMA)
+    p = fwdp.groupBy("shard").applyInPandas(B._shard_postings_kernel, B._POSTINGS_SCHEMA)
+    ra = sorted(map(tuple, a.collect()))
+    rp = sorted(map(tuple, p.collect()))
+    assert len(ra) == len(rp) > 0
+    for x, y in zip(ra, rp):
+        assert x == y  # byte-identical payloads + identical metadata
+    fwdp.unpersist()
