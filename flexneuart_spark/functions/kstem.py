@@ -138,18 +138,19 @@ class KrovetzStemParser:
         return " ".join(kstem_word(t) for t in s.split() if t not in self.stop_words)
 
 
-def krovetz_stem_col(text_col: str, stop_words: list[str]) -> Column:
+def krovetz_stem_col(text_col: str | Column, stop_words: list[str]) -> Column:
     """Arrow-batched pandas UDF column: KrovetzStemParser over a string
-    column. The rule engine is pure string ops, so one Python pass per
-    Arrow batch; at the scale path, run it once per corpus build, not per
-    query."""
+    column (name or Column). The rule engine is pure string ops, so one
+    Python pass per Arrow batch; at the scale path, run it once per
+    corpus build, not per query."""
     parser = KrovetzStemParser(stop_words)
 
     @F.pandas_udf("string")
     def _stem(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: parser(t) if t is not None else None)
 
-    return _stem(F.col(text_col))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _stem(c)
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,19 @@ def _html_to_text(col: Column) -> Column:
 
 
 STAGES["html_to_text"] = _html_to_text  # T7 basic strip path
+
+
+def _html_main_text(col: Column, min_block_chars: int = 40, max_link_density: float = 0.33) -> Column:
+    from flexneuart_spark.functions.textproc import html_main_text_col
+
+    return html_main_text_col(col, min_block_chars, max_link_density)
+
+
+def _krovetz(col: Column, stop_words: list | None = None) -> Column:
+    from flexneuart_spark.functions.kstem import krovetz_stem_col
+
+    return krovetz_stem_col(col, stop_words or [])
+
+
+STAGES["html_main_text"] = _html_main_text  # T7 boilerplate-aware extraction
+STAGES["krovetz"] = _krovetz                # T2 stemming

@@ -68,3 +68,21 @@ def test_features_and_linear_rerank(spark):
     want = pdf.loc["d1", "f_bm25"] + 10.0 * pdf.loc["d1", "f_tm"]
     got = [r.score for r in run if r.doc_id == "d1"][0]
     assert got == pytest.approx(want)
+
+
+def test_pipeline_krovetz_and_main_text_stages(spark):
+    from flexneuart_spark.operators.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("<div>The tested documents were running tests happily ever after today</div>",)],
+        ["content"],
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"op": "html_main_text", "col": "content", "out": "main"},
+            {"op": "krovetz", "col": "main", "out": "stemmed", "stop_words": ["the"]},
+        ],
+    ).collect()[0]
+    assert "tested" in out.main and "<div>" not in out.main
+    assert out.stemmed == "test document were run test happily ever after today"
