@@ -87,7 +87,12 @@ def _tokens_udf(tokenizer: str):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tok(content: pd.Series) -> pd.Series:
         if tokenizer == "code":
-            out = code_tokenize_pandas(content)
+            try:
+                from flexneuart_spark.functions.tokenize import code_tokenize_arrow
+
+                out = code_tokenize_arrow(content)
+            except Exception:
+                out = code_tokenize_pandas(content)
         elif tokenizer == "krovetz":
             from flexneuart_spark.functions.tokenize import krovetz_tokenize_pandas
 
@@ -96,7 +101,7 @@ def _tokens_udf(tokenizer: str):
             out = content.fillna("").str.split(r"\s+", regex=True).map(
                 lambda xs: [t for t in xs if t] if xs is not None else []
             )
-        return out.map(lambda xs: xs if isinstance(xs, list) else [])
+        return out.map(lambda xs: xs if isinstance(xs, (list, np.ndarray)) else [])
 
     return tok
 

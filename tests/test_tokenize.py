@@ -70,3 +70,21 @@ def test_sha256_invariant(spark):
     df = spark.createDataFrame(pd.DataFrame({"s": SAMPLES}))
     got = [r.h for r in df.select(F.sha2("s", 256).alias("h")).collect()]
     assert got == [hashlib.sha256(s.encode()).hexdigest() for s in SAMPLES]
+
+
+def test_code_tokenize_arrow_equals_pandas():
+    import pandas as pd
+
+    from flexneuart_spark.fixtures import make_corpus
+    from flexneuart_spark.functions.tokenize import code_tokenize_arrow, code_tokenize_pandas
+
+    s = pd.concat(
+        [
+            make_corpus(300, 5)["content"],
+            pd.Series(["", "   ", None, "camelCaseXYZ snake_case 1a2B", "___", "ÉéÜü mixedÀcase"]),
+        ],
+        ignore_index=True,
+    )
+    a = code_tokenize_arrow(s)
+    p = code_tokenize_pandas(s)
+    assert [list(x) for x in a] == [list(x) for x in p]
