@@ -20,7 +20,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--run-id", default="flexneuart_spark")
-    ap.add_argument("--tokenizer", choices=["code", "whitespace"], default="code")
+    ap.add_argument("--tokenizer", choices=["code", "whitespace", "krovetz"], default="code")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
