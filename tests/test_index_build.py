@@ -230,3 +230,22 @@ def test_arrow_kernel_equals_pandas_kernel(spark, tmp_path_factory):
     for x, y in zip(ra, rp):
         assert x == y  # byte-identical payloads + identical metadata
     fwdp.unpersist()
+
+
+def test_estimate_corpus_bytes_file_backed(spark, tmp_path_factory):
+    from flexneuart_spark.fixtures import make_corpus
+    from flexneuart_spark.index.builder import auto_num_shards, estimate_corpus_bytes
+
+    d = str(tmp_path_factory.mktemp("est"))
+    spark.createDataFrame(make_corpus(200, 21)).write.mode("overwrite").parquet(d)
+    est = estimate_corpus_bytes(spark.read.parquet(d))
+    import os
+
+    real = sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert est == real > 0
+    # tiny corpus → the sizing rule bottoms out at 1 shard
+    assert auto_num_shards(est) == 1
+    # in-memory frame → no estimate
+    assert estimate_corpus_bytes(spark.createDataFrame(make_corpus(5, 1))) is None
