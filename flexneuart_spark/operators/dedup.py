@@ -266,6 +266,77 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a < id_b, hamming ≤ max_hamming).
+
+    Candidate generation is the classic pigeonhole block split (Manku et
+    al., WWW 2007 "Detecting near-duplicates for web crawling"): split
+    the ``bits``-wide signature into ``max_hamming + 1`` equal blocks —
+    any pair within the Hamming radius must agree EXACTLY on at least one
+    block (≤ max_hamming bits differ, so they cannot touch all blocks).
+    Group by (block_idx, block_value) and expand pairs in-map (the same
+    one-shuffle pattern as the other candidate generators), then verify
+    the exact Hamming distance on the full signatures. Guaranteed recall
+    1.0 within the radius — unlike banded MinHash this is exact."""
+    k = n_blocks if n_blocks is not None else max_hamming + 1
+    if k < max_hamming + 1:
+        raise ValueError("need at least max_hamming+1 blocks for exact recall")
+    sig = simhash(df, text_col, id_col, bits)
+    width = bits // k
+    rem = bits - width * k  # first `rem` blocks get one extra bit
+    # block boundaries as literals (bits is small and fixed)
+    bounds = []
+    pos = 1
+    for i in range(k):
+        w = width + (1 if i < rem else 0)
+        bounds.append((pos, w))
+        pos += w
+    blocks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    F.substring("simhash", p, w).alias("block_val"),
+                )
+                for i, (p, w) in enumerate(bounds)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.block_idx"), F.col("b.block_val"))
+    buckets = blocks.groupBy("block_idx", "block_val").agg(
+        F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))).alias("rows")
+    ).filter(F.size("rows") >= 2)
+    ids = F.transform("rows", lambda r: r["id"])
+    pairs = (
+        buckets.select(F.explode(_ordered_pairs(ids)).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    # exact Hamming distance over the '0'/'1' strings (JVM expression)
+    ham = F.aggregate(
+        F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""), lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_lsh_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",

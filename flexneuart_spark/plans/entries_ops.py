@@ -176,6 +176,57 @@ FROM bitvals GROUP BY 1
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 1 (pigeonhole block
+    candidates — exact recall — then full-signature verify). Radius 1 on
+    a 16-bit signature keeps the entry selective; production uses 64-bit
+    signatures with radius 3 (same operator, same plan shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_near_duplicates(docs, bits=16, max_hamming=1)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = rf"""
+WITH {SQL_TOKLIST},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, md5(term) AS h
+  FROM (SELECT doc_id, unnest(l) AS term FROM toklist)
+  GROUP BY 1, 2
+),
+per_bit AS (
+  SELECT doc_id, unnest(range(0, 16)) AS bit_idx, tf, h FROM tf
+),
+bitvals AS (
+  SELECT doc_id, bit_idx,
+         CASE WHEN sum(CASE WHEN substr(h, bit_idx + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                            THEN tf ELSE -tf END) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM per_bit GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY bit_idx) AS simhash
+  FROM bitvals GROUP BY 1
+),
+bl AS (
+  SELECT doc_id, simhash, block_idx,
+         substr(simhash, block_idx * 8 + 1, 8) AS block_val
+  FROM (SELECT doc_id, simhash, unnest(range(0, 2)) AS block_idx FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bl a JOIN bl b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_filter(range(1, 17),
+                i -> substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1))) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON c.id_a = sa.doc_id
+JOIN sig sb ON c.id_b = sb.doc_id
+WHERE len(list_filter(range(1, 17),
+          i -> substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1))) <= 1
+"""
+
+
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint dedup groups: docs sharing the min-md5 4-gram
     fingerprint (shift-robust near-dup buckets)."""
@@ -564,6 +615,7 @@ OPS_QUERIES_REG = {
     "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_embedding": q_dedup_embedding,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -586,6 +638,7 @@ OPS_ORACLE_SQL = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,

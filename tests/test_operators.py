@@ -216,3 +216,21 @@ def test_multiprobe_recall_dominates_single_probe(spark, emb):
     # multi-probe candidates are a superset of single-probe's buckets, so
     # recall vs brute force can only improve
     assert len(multi & brute) >= len(single & brute)
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark, docs):
+    # pigeonhole block candidates guarantee EXACT recall within the radius
+    import itertools as it
+
+    sub = docs.limit(120)
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(sub, bits=16).collect()}
+    want = set()
+    for a, b in it.combinations(sorted(sigs), 2):
+        h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if h <= 2:
+            want.add((a, b, h))
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in dedup.simhash_near_duplicates(sub, bits=16, max_hamming=2).collect()}
+    assert got == want and len(want) > 0
+    with pytest.raises(ValueError):
+        dedup.simhash_near_duplicates(sub, bits=16, max_hamming=3, n_blocks=2)
