@@ -337,6 +337,23 @@ def simhash_near_duplicates(
     )
 
 
+def apply_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The APPLY step of the dedup pipeline: given the corpus and a
+    near-dup pair list, drop every non-canonical group member (canonical
+    = the component's min id, via :func:`connected_components`) and keep
+    all unpaired docs. One anti-join against the (small) non-canonical
+    id set — the corpus itself is never shuffled."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_lsh_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",

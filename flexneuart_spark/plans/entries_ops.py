@@ -123,6 +123,44 @@ SELECT a AS id, least(a, min(b)) AS component FROM r GROUP BY a
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: detect (Jaccard) → group (connected
+    components) → APPLY (keep each group's min-id canonical + all
+    unpaired docs). Output: the surviving doc ids."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.jaccard_near_duplicates(docs, n=3, threshold=0.8)
+    return dedup.apply_dedup(docs, pairs).select("doc_id")
+
+
+SQL_DEDUP_APPLY = f"""
+WITH RECURSIVE {SQL_TOKLIST}, {SQL_SHINGLES3},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+head AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+csh AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM head)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+r AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM r GROUP BY a)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (8 hashes, bands of 2)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -613,6 +651,7 @@ OPS_QUERIES_REG = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
+    "dedup_apply": q_dedup_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -636,6 +675,7 @@ OPS_ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,

@@ -234,3 +234,11 @@ def test_simhash_pairs_exact_vs_bruteforce(spark, docs):
     assert got == want and len(want) > 0
     with pytest.raises(ValueError):
         dedup.simhash_near_duplicates(sub, bits=16, max_hamming=3, n_blocks=2)
+
+
+def test_apply_dedup_keeps_canonicals(spark):
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(10)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    kept = {r.doc_id for r in dedup.apply_dedup(docs, pairs).collect()}
+    # groups {1,2,3}→keep 1; {7,8}→keep 7; everything unpaired survives
+    assert kept == {0, 1, 4, 5, 6, 7, 9}
