@@ -206,18 +206,62 @@ def ivf_centroids(
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means training for the IVF coarse quantizer: init = the
+    md5-hash-picked vectors (:func:`ivf_centroids`), then ``n_iter``
+    rounds of assign (broadcast centroids, cosine argmax) + recompute
+    (per-cell per-position mean via posexplode/groupBy — one shuffle per
+    round, map-side combined). Centroid coordinates are rounded to 6
+    decimals each round, which makes the result independent of partial-
+    aggregation order (double sums of group-sized inputs agree to ~1e-12,
+    far inside the rounding) — so the training has an exact SQL twin.
+    Cells that lose all members drop out (standard Lloyd behaviour).
+    Returns (cell, cv, cn)."""
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    for _ in range(n_iter):
+        scored = e.crossJoin(F.broadcast(cents)).withColumn(
+            "cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
+        assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mval"))), lambda s: s["mval"]
+                ).alias("cv")
+            )
+        )
+        cents = means.withColumn(
+            "cn", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x))
+        )
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Rank each vector's cells by cosine against the hash-picked centroids
-    (broadcast — n_cells rows). Returns (id, cell, r) for r ≤ nprobe;
+    """Rank each vector's cells by cosine against the centroids
+    (broadcast — n_cells rows; hash-picked by default, or pass trained
+    ones from :func:`ivf_train`). Returns (id, cell, r) for r ≤ nprobe;
     r=1 is the storage assignment, r ≤ nprobe>1 is the query probe set."""
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     )
@@ -237,12 +281,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: database vectors live in their nearest cell (r=1); each
     query probes its ``nprobe`` nearest cells and runs exact cosine inside
     them. Cells partition the corpus, so the probe join yields each
-    candidate once — no dedup needed."""
-    assign = ivf_assign(emb, n_cells, id_col, vec_col, nprobe=max(1, nprobe))
+    candidate once — no dedup needed. Pass ``centroids`` from
+    :func:`ivf_train` for the trained quantizer."""
+    assign = ivf_assign(emb, n_cells, id_col, vec_col, nprobe=max(1, nprobe), centroids=centroids)
     e = (
         emb.join(assign.filter(F.col("r") == 1).drop("r"), id_col)
         .select(F.col(id_col), "cell", _as_double(vec_col).alias("v"))

@@ -475,6 +475,67 @@ def q_emb_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_ann_topk(emb, EMB_QUERY_IDS, k=5, nbits=6, seed=13)
 
 
+def q_emb_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: one Lloyd round (assign to
+    hash-picked seeds, recompute per-cell means rounded to 6dp), then the
+    standard nprobe=2 probe search. The rounding makes training exactly
+    reproducible in SQL (see similarity.ivf_train)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_train(emb, n_cells=8, n_iter=1)
+    return similarity.ivf_topk(emb, EMB_QUERY_IDS, k=5, nprobe=2, centroids=cents)
+
+
+SQL_EMB_IVF_TRAINED = f"""
+WITH {SQL_EMB},
+c0 AS (
+  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell ASC) AS r
+    FROM emb e CROSS JOIN c0 c
+  ) WHERE r = 1
+),
+expl AS (
+  SELECT a.cell, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
+  FROM a0 a JOIN emb e USING (vec_id)
+),
+m1 AS (SELECT cell, pos, round(avg(val), 6) AS mval FROM expl GROUP BY 1, 2),
+c1 AS (
+  SELECT cell, array_agg(mval ORDER BY pos) AS cv FROM m1 GROUP BY 1
+),
+c1n AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1),
+a1 AS (
+  SELECT vec_id, cell, r FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell ASC) AS r
+    FROM emb e CROSS JOIN c1n c
+  ) WHERE r <= 2
+),
+db AS (SELECT e.*, a.cell FROM emb e JOIN a1 a ON e.vec_id = a.vec_id AND a.r = 1),
+q AS (
+  SELECT a.vec_id AS query_vec_id, a.cell, e.v AS qv, e.nrm AS qn
+  FROM a1 a JOIN emb e ON a.vec_id = e.vec_id
+  WHERE a.vec_id IN (0,1,2,3,4)
+),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
+  FROM db e JOIN q USING (cell) WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text_analysis.token_counts(docs)
@@ -661,6 +722,7 @@ OPS_QUERIES_REG = {
     "emb_lsh_ann": q_emb_lsh_ann,
     "emb_lsh_multiprobe": q_emb_lsh_multiprobe,
     "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_ivf_trained": q_emb_ivf_trained,
     "emb_rp_ann": q_emb_rp_ann,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -685,6 +747,7 @@ OPS_ORACLE_SQL = {
     "emb_lsh_ann": SQL_EMB_LSH_ANN,
     "emb_lsh_multiprobe": SQL_EMB_LSH_MULTIPROBE,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
+    "emb_ivf_trained": SQL_EMB_IVF_TRAINED,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,

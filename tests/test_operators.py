@@ -242,3 +242,29 @@ def test_apply_dedup_keeps_canonicals(spark):
     kept = {r.doc_id for r in dedup.apply_dedup(docs, pairs).collect()}
     # groups {1,2,3}→keep 1; {7,8}→keep 7; everything unpaired survives
     assert kept == {0, 1, 4, 5, 6, 7, 9}
+
+
+def test_ivf_train_recovers_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base_a = np.array([5.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 5.0, 0.0, 0.0])
+    for i in range(20):
+        rows.append((i, [float(x) for x in base_a + 0.1 * rng.standard_normal(4)]))
+        rows.append((100 + i, [float(x) for x in base_b + 0.1 * rng.standard_normal(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train(df, n_cells=2, n_iter=3).collect()
+    assert len(cents) == 2
+    dirs = sorted(
+        (np.argmax(np.abs(np.asarray(c.cv))) for c in cents)
+    )
+    assert dirs == [0, 1]  # one centroid per planted cluster axis
+    # assignment with trained centroids partitions the two clusters exactly
+    assign = similarity.ivf_assign(df, centroids=similarity.ivf_train(df, n_cells=2, n_iter=3))
+    groups = {}
+    for r in assign.collect():
+        groups.setdefault(r.cell, set()).add(r.id if hasattr(r, "id") else r.vec_id)
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == [20, 20]
