@@ -7,14 +7,21 @@ these operators generalize it to corpus-scale dedup.
 
 Scale notes (100 TB posture):
 - exact dedup is a hash groupBy — one shuffle on a 16-byte key;
-- n-gram Jaccard generates candidates ONLY from shared shingles
-  (inverted-index-style self-join); optional ``max_shingle_df`` drops
-  ultra-common shingles before the join — the standard guard against the
-  quadratic blowup of head shingles (skew!) at a bounded recall cost;
-- MinHash+LSH replaces the pairwise join with band-bucket grouping:
-  candidate volume is O(collisions), independent of corpus size;
-- SimHash gives a constant-width signature; equal-signature grouping is
-  a single groupBy.
+- ALL candidate generators share the one-shuffle bucket-grouped pair
+  expansion (``_ordered_pairs``): group by the bucket key (shingle /
+  minhash band / sign-LSH band / SimHash block), expand ordered pairs
+  JVM-side — no self-joins, the bucket table is shuffled once;
+- n-gram Jaccard's ``max_shingle_df`` guard is ON by default (1000): a
+  head shingle (``} } }``) would otherwise contribute O(df²) pairs —
+  the cap bounds the worst bucket at ~10⁶ pairs regardless of corpus
+  size, at a bounded recall cost (``dropped_head_shingles`` audits it);
+- MinHash+LSH / banded sign-LSH: candidate volume is O(bucket
+  collisions), independent of corpus size;
+- SimHash pigeonhole blocks give EXACT recall within the Hamming radius;
+- pair → group resolution (``connected_components``) is iterative
+  min-label propagation, checkpointed per round, diameter-bounded;
+  ``apply_dedup`` then anti-joins the corpus against the small
+  non-canonical set.
 
 All hash functions are md5-based so every operator has an exact DuckDB
 oracle (portable lexicographic min over hex strings instead of seeded
