@@ -11,10 +11,15 @@ Scale notes (100 TB posture):
   expansion (``_ordered_pairs``): group by the bucket key (shingle /
   minhash band / sign-LSH band / SimHash block), expand ordered pairs
   JVM-side — no self-joins, the bucket table is shuffled once;
-- n-gram Jaccard's ``max_shingle_df`` guard is ON by default (1000): a
-  head shingle (``} } }``) would otherwise contribute O(df²) pairs —
-  the cap bounds the worst bucket at ~10⁶ pairs regardless of corpus
-  size, at a bounded recall cost (``dropped_head_shingles`` audits it);
+- EVERY bucket key is size-capped by default: n-gram Jaccard's
+  ``max_shingle_df`` (1000) plus ``max_bucket_size`` (2000) on the
+  MinHash-band / SimHash-block / sign-LSH-band generators. A hot bucket
+  (the all-'0' band of short docs, a boilerplate block) would otherwise
+  materialize its whole id array in ONE row and expand O(n²) structs in
+  one task — the caps bound the worst task at C(cap,2) pairs regardless
+  of corpus skew. ``dropped_head_shingles`` / ``oversized_buckets``
+  audit what each cap removed; pass ``None`` to opt out (unsafe at
+  scale);
 - MinHash+LSH / banded sign-LSH: candidate volume is O(bucket
   collisions), independent of corpus size;
 - SimHash pigeonhole blocks give EXACT recall within the Hamming radius;
@@ -87,9 +92,11 @@ def jaccard_near_duplicates(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with n-gram-set Jaccard ≥ threshold.
 
-    Candidates come from the shared-shingle self-join; Jaccard is computed
-    over the FULL shingle sets (candidate generation never changes the
-    similarity value, only recall when ``max_shingle_df`` is set).
+    Candidates come from the bucket-grouped shared-shingle expansion;
+    Jaccard is then computed over the FULL shingle sets — the shared
+    count for surviving candidates is re-counted against the uncapped
+    shingle table, so ``max_shingle_df`` only affects recall (which
+    pairs become candidates), never the reported similarity value.
 
     ``max_shingle_df`` defaults ON (1000): a shingle shared by d docs
     contributes O(d²) candidate pairs, so one head shingle (think ``} } }``
@@ -110,9 +117,20 @@ def jaccard_near_duplicates(
     posting = posting.filter(F.size("ids") >= 2)
     if max_shingle_df is not None:
         posting = posting.filter(F.size("ids") <= max_shingle_df)
-    inter = (
+    cand = (
         posting.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    # Exact shared-shingle count over the FULL (uncapped) shingle table:
+    # the candidate set is small (bucket collisions), so joining it back
+    # to `sh` twice is a candidate-bounded join, and the similarity is
+    # unbiased even for pairs sharing capped head shingles.
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -174,9 +192,19 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band (band_size consecutive
-    minhashes concatenated) — (id_a < id_b, n_bands_shared)."""
+    minhashes concatenated) — (id_a < id_b, n_bands_shared).
+
+    ``max_bucket_size`` (default 2000, ``None`` to opt out) drops band
+    buckets bigger than the cap before pair expansion — the skew guard
+    AND the per-task memory bound: without it one hot band (e.g. a
+    boilerplate band shared by millions of short docs) materializes the
+    whole bucket's id array in a single row and expands O(n²) pairs in
+    one task. A bucket that big is never a useful near-dup signal anyway
+    (band collision probability ≈ sim^band_size, so genuine near-dup
+    buckets are tiny). ``oversized_buckets`` audits what the cap drops."""
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band = sig.withColumn("band_idx", F.floor(F.col("hash_idx") / band_size).cast("int"))
     bands = band.groupBy(id_col, "band_idx").agg(
@@ -187,11 +215,45 @@ def minhash_lsh_candidates(
     buckets = bands.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     ).filter(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_bands_shared"))
+    )
+
+
+def oversized_buckets(bucketed: DataFrame, key_cols: list[str], ids_col: str = "ids") -> DataFrame:
+    """Audit helper shared by the capped candidate generators: given a
+    bucket table (key columns + a collected id array), report the buckets
+    a ``max_bucket_size`` cap would drop — (key_cols..., bucket_size).
+    Use the ``*_buckets`` companions below to build the bucket table with
+    the same keys each generator groups on."""
+    return (
+        bucketed.select(*key_cols, F.size(ids_col).cast("long").alias("bucket_size"))
+        .filter(F.col("bucket_size") >= 2)
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The (band_idx, band_key, ids) bucket table ``minhash_lsh_candidates``
+    expands — feed to :func:`oversized_buckets` for the cap audit."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band = sig.withColumn("band_idx", F.floor(F.col("hash_idx") / band_size).cast("int"))
+    bands = band.groupBy(id_col, "band_idx").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key")
+    )
+    return bands.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
 
 
@@ -280,6 +342,7 @@ def simhash_near_duplicates(
     bits: int = 16,
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a < id_b, hamming ≤ max_hamming).
 
@@ -291,7 +354,13 @@ def simhash_near_duplicates(
     Group by (block_idx, block_value) and expand pairs in-map (the same
     one-shuffle pattern as the other candidate generators), then verify
     the exact Hamming distance on the full signatures. Guaranteed recall
-    1.0 within the radius — unlike banded MinHash this is exact."""
+    1.0 within the radius — unlike banded MinHash this is exact — EXCEPT
+    for pairs living only in blocks bigger than ``max_bucket_size``
+    (default 2000, ``None`` to opt out): the cap drops hot blocks (e.g.
+    a block value shared by a whole boilerplate family) before the O(n²)
+    in-row pair expansion, the same skew/memory guard as the other
+    generators. ``oversized_buckets`` over :func:`simhash_block_buckets`
+    audits what it removed."""
     k = n_blocks if n_blocks is not None else max_hamming + 1
     if k < max_hamming + 1:
         raise ValueError("need at least max_hamming+1 blocks for exact recall")
@@ -321,6 +390,8 @@ def simhash_near_duplicates(
     buckets = blocks.groupBy("block_idx", "block_val").agg(
         F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))).alias("rows")
     ).filter(F.size("rows") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("rows") <= max_bucket_size)
     ids = F.transform("rows", lambda r: r["id"])
     pairs = (
         buckets.select(F.explode(_ordered_pairs(ids)).alias("p"))
@@ -341,6 +412,44 @@ def simhash_near_duplicates(
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_block_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The (block_idx, block_val, ids) bucket table
+    ``simhash_near_duplicates`` expands — feed to
+    :func:`oversized_buckets` for the cap audit."""
+    k = n_blocks if n_blocks is not None else max_hamming + 1
+    sig = simhash(df, text_col, id_col, bits)
+    width = bits // k
+    rem = bits - width * k
+    bounds = []
+    pos = 1
+    for i in range(k):
+        w = width + (1 if i < rem else 0)
+        bounds.append((pos, w))
+        pos += w
+    blocks = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    F.substring("simhash", p, w).alias("block_val"),
+                )
+                for i, (p, w) in enumerate(bounds)
+            ])
+        ).alias("b"),
+    ).select(id_col, F.col("b.block_idx"), F.col("b.block_val"))
+    return blocks.groupBy("block_idx", "block_val").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
 
 
@@ -367,6 +476,7 @@ def embedding_lsh_candidates(
     vec_col: str = "embedding",
     n_bands: int = 6,
     band_bits: int = 4,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Banded sign-LSH candidate pairs for embedding near-dup.
 
@@ -378,8 +488,13 @@ def embedding_lsh_candidates(
     cosine θ, P(one sign bit agrees) = 1 − θ/π, so at near-dup thresholds
     (cos ≥ 0.95 ⇒ θ ≤ 18°, p ≈ 0.9) the default 6×4 bands give ≥ 0.995
     candidate recall while candidate volume stays O(bucket collisions) —
-    never O(n²). Returns DISTINCT (id_a < id_b) pairs only (no vectors):
-    join vectors back by id so the exploded band table stays narrow.
+    never O(n²). ``max_bucket_size`` (default 2000, ``None`` to opt out)
+    drops band buckets bigger than the cap before pair expansion — the
+    all-'0' band key is a real hazard when the leading coordinates skew
+    non-negative (normalized embeddings often do), and an uncapped hot
+    bucket expands O(n²) structs in one task. Returns DISTINCT
+    (id_a < id_b) pairs only (no vectors): join vectors back by id so
+    the exploded band table stays narrow.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nbits = n_bands * band_bits
@@ -398,10 +513,41 @@ def embedding_lsh_candidates(
     buckets = bands.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     ).filter(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def embedding_band_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 6,
+    band_bits: int = 4,
+) -> DataFrame:
+    """The (band_idx, band_key, ids) bucket table
+    ``embedding_lsh_candidates`` expands — feed to
+    :func:`oversized_buckets` for the cap audit."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nbits = n_bands * band_bits
+    bits = F.transform(
+        F.slice(v, 1, nbits), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    sig = emb.select(F.col(id_col), bits.alias("bits"))
+    bands = sig.select(
+        F.col(id_col),
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws("", F.slice("bits", F.col("band_idx") * band_bits + 1, band_bits)),
+    ).select(id_col, "band_idx", "band_key")
+    return bands.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
 
 
@@ -413,6 +559,7 @@ def embedding_near_duplicates(
     method: str = "lsh",
     n_bands: int = 6,
     band_bits: int = 4,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
 
@@ -428,7 +575,7 @@ def embedding_near_duplicates(
     a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     if method == "lsh":
-        cand = embedding_lsh_candidates(emb, id_col, vec_col, n_bands, band_bits)
+        cand = embedding_lsh_candidates(emb, id_col, vec_col, n_bands, band_bits, max_bucket_size)
         pairs = cand.join(a, "id_a").join(b, "id_b")
     elif method == "exact":
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -71,9 +71,15 @@ WITH {SQL_TOKLIST}, {SQL_SHINGLES3},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 head AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
 csh AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM head)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
@@ -101,9 +107,15 @@ WITH RECURSIVE {SQL_TOKLIST}, {SQL_SHINGLES3},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 head AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
 csh AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM head)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
 jp AS (
@@ -137,9 +149,15 @@ WITH RECURSIVE {SQL_TOKLIST}, {SQL_SHINGLES3},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 head AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
 csh AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM head)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
 jp AS (
@@ -178,9 +196,13 @@ bands AS (
   SELECT doc_id, CAST(hash_idx // 2 AS INT) AS band_idx,
          string_agg(minhash, '|' ORDER BY minhash) AS band_key
   FROM sig GROUP BY 1, 2
+),
+cb AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 2000
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands_shared
-FROM bands a JOIN bands b
+FROM cb a JOIN cb b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
@@ -249,9 +271,13 @@ bl AS (
          substr(simhash, block_idx * 8 + 1, 8) AS block_val
   FROM (SELECT doc_id, simhash, unnest(range(0, 2)) AS block_idx FROM sig)
 ),
+cbl AS (
+  SELECT * FROM bl
+  QUALIFY count(*) OVER (PARTITION BY block_idx, block_val) <= 2000
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bl a JOIN bl b
+  FROM cbl a JOIN cbl b
     ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
@@ -315,10 +341,14 @@ bands AS (
   SELECT vec_id, band_idx, bits[band_idx * 2 + 1] || bits[band_idx * 2 + 2] AS band_key
   FROM (SELECT vec_id, bits, unnest(range(0, 8)) AS band_idx FROM sig)
 ),
+cb AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 2000
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+  FROM cb a
+  JOIN cb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 )
 SELECT c.id_a, c.id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos

@@ -268,3 +268,89 @@ def test_ivf_train_recovers_clusters(spark):
         groups.setdefault(r.cell, set()).add(r.id if hasattr(r, "id") else r.vec_id)
     sizes = sorted(len(v) for v in groups.values())
     assert sizes == [20, 20]
+
+
+# --- max_bucket_size skew guards (round-3) ----------------------------------
+
+def _hot_corpus(spark, n_hot=2500, planted=2):
+    """A skewed corpus: `n_hot` docs with the SAME text (one hot LSH bucket,
+    above the 2000 default cap) plus a planted near-dup pair of distinct
+    texts that must still be found."""
+    rows = [(i, "boiler plate code block repeated forever " * 3) for i in range(n_hot)]
+    rows.append((9001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    rows.append((9002, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket(spark):
+    docs = _hot_corpus(spark)
+    cand = dedup.minhash_lsh_candidates(docs, max_bucket_size=2000).collect()
+    got = {(r.id_a, r.id_b) for r in cand}
+    # the 2500-doc hot bucket (C(2500,2) ≈ 3.1M pairs) is dropped entirely;
+    # the planted near-dup pair survives in its own small bucket
+    assert (9001, 9002) in got
+    assert all(a >= 9000 for a, _ in got), f"hot-bucket pairs leaked: {sorted(got)[:5]}"
+    # audit reports the dropped bucket(s)
+    buckets = dedup.minhash_band_buckets(docs)
+    over = dedup.oversized_buckets(buckets, ["band_idx", "band_key"]).filter(
+        F.col("bucket_size") > 2000).collect()
+    assert len(over) >= 1 and all(r.bucket_size == 2500 for r in over)
+
+
+def test_simhash_bucket_cap_bounds_hot_bucket(spark):
+    docs = _hot_corpus(spark)
+    pairs = dedup.simhash_near_duplicates(docs, bits=16, max_hamming=1, max_bucket_size=2000)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(a >= 9000 for a, _ in got), f"hot-bucket pairs leaked: {sorted(got)[:5]}"
+    buckets = dedup.simhash_block_buckets(docs, bits=16, max_hamming=1)
+    over = dedup.oversized_buckets(buckets, ["block_idx", "block_val"]).filter(
+        F.col("bucket_size") > 2000).collect()
+    assert len(over) >= 1
+
+
+def test_embedding_bucket_cap_bounds_hot_bucket(spark):
+    # 2500 identical vectors → every band bucket holds all of them; with
+    # the cap, candidate generation yields NO pairs among the hot family
+    # but keeps the distinct planted near-dup pair
+    rows = [(i, [1.0, 1.0, 0.5, 0.5, 1.0, 1.0, 0.5, 0.5]) for i in range(2500)]
+    rows.append((9001, [-1.0, -1.0, -0.5, -0.5, -1.0, -1.0, -0.5, -0.5]))
+    rows.append((9002, [-1.0, -1.0, -0.5, -0.6, -1.0, -1.0, -0.5, -0.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = dedup.embedding_lsh_candidates(emb, n_bands=4, band_bits=2, max_bucket_size=2000)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert got == {(9001, 9002)}
+    buckets = dedup.embedding_band_buckets(emb, n_bands=4, band_bits=2)
+    over = dedup.oversized_buckets(buckets, ["band_idx", "band_key"]).filter(
+        F.col("bucket_size") > 2000).collect()
+    assert len(over) >= 1 and all(r.bucket_size == 2500 for r in over)
+
+
+def test_jaccard_score_unbiased_by_shingle_cap(spark):
+    # two docs share a HEAD shingle family (capped out of candidate gen)
+    # plus enough rare shingles to remain candidates; the reported jaccard
+    # must equal the FULL-set jaccard, not the capped-set one
+    import itertools as it
+
+    common = "x y z " * 4                       # shingles shared by many docs
+    rare = "unique alpha beta gamma delta one two"
+    rows = [(i, common + f"filler{i} pad{i} tail{i}") for i in range(20)]
+    rows.append((100, common + rare))
+    rows.append((101, common + rare + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shset(t, n=3):
+        w = t.split()
+        return {tuple(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    texts = dict(rows)
+    want = {}
+    for a, b in it.combinations(sorted(texts), 2):
+        sa, sb = shset(texts[a]), shset(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.jaccard_near_duplicates(docs, threshold=0.5, max_shingle_df=10).collect()}
+    assert (100, 101) in got
+    for pair, j in got.items():
+        assert abs(j - want[pair]) < 1e-6, (pair, j, want[pair])
