@@ -4,6 +4,7 @@ from flexneuart_spark.plans import entries_ext as _ext
 from flexneuart_spark.plans import entries_ops as _ops
 from flexneuart_spark.plans import entries_prox as _prox
 from flexneuart_spark.plans import entries_stem as _stem
+from flexneuart_spark.plans import entries_bert as _bert
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
@@ -11,6 +12,7 @@ QUERIES_REG = {
     **_prox.PROX_QUERIES_REG,
     **_ext.EXT_QUERIES_REG,
     **_stem.STEM_QUERIES_REG,
+    **_bert.BERT_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
@@ -18,5 +20,6 @@ ORACLE_SQL = {
     **_prox.PROX_ORACLE_SQL,
     **_ext.EXT_ORACLE_SQL,
     **_stem.STEM_ORACLE_SQL,
+    **_bert.BERT_ORACLE_SQL,
 }
 
