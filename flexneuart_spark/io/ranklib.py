@@ -63,3 +63,149 @@ def weights_for_features(model_weights: dict[int, float], feature_names: list[st
             )
         out[feature_names[fid - 1]] = w
     return out
+
+
+# --- LambdaMART / MART tree ensembles ---------------------------------------
+#
+# RankLib saves boosted regression-tree models (LambdaMART, MART, and the
+# per-bag trees of Random Forests) as an XML <ensemble> after ##-comment
+# headers; the reference vendors the format at
+# java/lemur-code-r2792-RankLib-trunk/src/ciir/umass/edu/learning/tree/
+# (Ensemble.java:45-78 parse, :113-118 eval = Σ weight_i · tree_i(x);
+# Split.java:120-131 eval = descend left iff feature value <= threshold,
+# leaf emits <output>). This evaluator flattens each tree into parallel
+# numpy arrays and walks a whole candidate batch per step — one
+# vectorized compare per tree level instead of a per-row Python descent.
+
+import xml.etree.ElementTree as _ET
+
+import numpy as _np
+
+
+class TreeEnsemble:
+    """Flattened RankLib tree ensemble: ``trees`` is a list of
+    (weight, nodes) where nodes holds parallel arrays ``feat`` (1-based
+    RankLib feature id, -1 for leaves), ``thr``, ``left``, ``right``,
+    ``out``; node 0 is the root."""
+
+    def __init__(self, trees):
+        self.trees = trees
+
+    @property
+    def feature_ids(self) -> list[int]:
+        ids = set()
+        for _, nd in self.trees:
+            ids.update(int(f) for f in nd["feat"] if f >= 1)
+        return sorted(ids)
+
+    def eval_matrix(self, X: "_np.ndarray") -> "_np.ndarray":
+        """Score a batch: X[:, j] is the value of RankLib feature id j+1.
+        Vectorized level-by-level walk (active rows only per step)."""
+        n = X.shape[0]
+        s = _np.zeros(n, dtype=_np.float64)
+        for w, nd in self.trees:
+            feat, thr = nd["feat"], nd["thr"]
+            left, right, out = nd["left"], nd["right"], nd["out"]
+            node = _np.zeros(n, dtype=_np.int64)
+            while True:
+                f = feat[node]
+                active = f >= 0
+                if not active.any():
+                    break
+                idx = _np.flatnonzero(active)
+                nf = f[idx]
+                fv = X[idx, nf - 1]
+                go_left = fv <= thr[node[idx]]
+                node[idx] = _np.where(go_left, left[node[idx]], right[node[idx]])
+            s += w * out[node]
+        return s
+
+
+def _parse_split(el, nodes: list) -> int:
+    """Recursively flatten a <split> element; returns this node's index."""
+    my = len(nodes)
+    nodes.append([-1, 0.0, -1, -1, 0.0])  # feat, thr, left, right, out
+    out_txt = el.findtext("output")
+    if out_txt is not None:
+        nodes[my][4] = float(out_txt.strip())
+        return my
+    feat_txt = el.findtext("feature")
+    thr_txt = el.findtext("threshold")
+    if feat_txt is None or thr_txt is None:
+        raise ValueError("malformed RankLib split: no <output> and no <feature>/<threshold>")
+    nodes[my][0] = int(feat_txt.strip())
+    nodes[my][1] = float(thr_txt.strip())
+    kids = {c.get("pos"): c for c in el.findall("split")}
+    if set(kids) != {"left", "right"}:
+        raise ValueError(f"malformed RankLib split: children {sorted(kids)}")
+    nodes[my][2] = _parse_split(kids["left"], nodes)
+    nodes[my][3] = _parse_split(kids["right"], nodes)
+    return my
+
+
+def parse_ranklib_ensemble(text: str) -> TreeEnsemble:
+    """Parse a RankLib LambdaMART/MART model file (##-comment headers +
+    <ensemble> XML) into a :class:`TreeEnsemble`."""
+    xml = "\n".join(l for l in text.splitlines() if not l.lstrip().startswith("#"))
+    xml = xml.strip()
+    if not xml.startswith("<ensemble>"):
+        raise ValueError("not a RankLib tree-ensemble model (no <ensemble> body)")
+    root = _ET.fromstring(xml)
+    trees = []
+    for t in root.findall("tree"):
+        weight = float(t.get("weight", "1.0"))
+        split = t.find("split")
+        if split is None:
+            raise ValueError("malformed RankLib tree: no root <split>")
+        nodes: list = []
+        _parse_split(split, nodes)
+        arr = _np.array(nodes, dtype=_np.float64)
+        nd = {
+            "feat": arr[:, 0].astype(_np.int64),
+            "thr": arr[:, 1],
+            "left": arr[:, 2].astype(_np.int64),
+            "right": arr[:, 3].astype(_np.int64),
+            "out": arr[:, 4],
+        }
+        trees.append((weight, nd))
+    if not trees:
+        raise ValueError("empty RankLib ensemble")
+    return TreeEnsemble(trees)
+
+
+def load_ranklib_ensemble(path: str) -> TreeEnsemble:
+    with open(path, encoding="utf-8") as f:
+        return parse_ranklib_ensemble(f.read())
+
+
+def sql_ensemble_score_expr(ensemble: TreeEnsemble, feature_exprs: list[str]) -> str:
+    """Generate an ANSI-SQL expression computing this ensemble's score —
+    each tree becomes a nested CASE walk (left iff value <= threshold),
+    summed with its weight. ``feature_exprs[i]`` is the SQL expression
+    for RankLib feature id i+1. The generated-oracle twin of
+    ``eval_matrix`` (same shape as kstem's ``sql_stem_ctes``): the two
+    sides derive from one parsed model, so they cannot drift."""
+
+    def lit(v: float) -> str:
+        # bare decimal literals parse as DECIMAL in DuckDB — force DOUBLE
+        # so both sides do IEEE float64 arithmetic
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    def walk(nd, i: int) -> str:
+        f = int(nd["feat"][i])
+        if f < 0:
+            return lit(nd["out"][i])
+        fe = feature_exprs[f - 1]
+        thr = lit(nd["thr"][i])
+        l = walk(nd, int(nd["left"][i]))
+        r = walk(nd, int(nd["right"][i]))
+        return f"(CASE WHEN {fe} <= {thr} THEN {l} ELSE {r} END)"
+
+    max_fid = max(ensemble.feature_ids, default=0)
+    if max_fid > len(feature_exprs):
+        raise ValueError(
+            f"model references feature id {max_fid} but only "
+            f"{len(feature_exprs)} feature expressions were provided"
+        )
+    parts = [f"{lit(w)} * {walk(nd, 0)}" for w, nd in ensemble.trees]
+    return " + ".join(parts)

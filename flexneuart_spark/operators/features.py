@@ -97,3 +97,44 @@ def linear_rerank(features: DataFrame, weights: dict[str, float], k: int = 10) -
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def ensemble_rerank(features: DataFrame, ensemble, feature_names: list[str], k: int = 10) -> DataFrame:
+    """RankLib tree-ensemble (LambdaMART/MART) rerank: score each
+    candidate with ``io/ranklib.py::TreeEnsemble`` — Σ weight·tree(x),
+    descend left iff value <= threshold (Ensemble.java:113-118,
+    Split.java:120-131) — then global top-k per query under the
+    (score desc, doc_id desc) tie rule.
+
+    ``feature_names[i]`` is the column holding RankLib feature id i+1
+    (the same id↔config-order mapping as ``weights_for_features``).
+    Scoring is ONE Arrow-batched pandas UDF: the flattened tree arrays
+    ship once per executor and each batch is a vectorized numpy walk —
+    no per-row Python, no shuffle beyond the final per-query window."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    max_fid = max(ensemble.feature_ids, default=0)
+    if max_fid > len(feature_names):
+        raise ValueError(
+            f"model references feature id {max_fid} but only "
+            f"{len(feature_names)} feature columns were provided"
+        )
+    trees = ensemble.trees  # picklable (numpy arrays), closed over once
+
+    def _score(*cols):
+        from flexneuart_spark.io.ranklib import TreeEnsemble
+
+        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        return pd.Series(TreeEnsemble(trees).eval_matrix(X))
+
+    # variadic signature → register explicitly (type hints don't support *args)
+    score_udf = F.pandas_udf(_score, DoubleType())
+    scored = features.withColumn("score", score_udf(*[F.col(n) for n in feature_names]))
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -5,6 +5,7 @@ from flexneuart_spark.plans import entries_ops as _ops
 from flexneuart_spark.plans import entries_prox as _prox
 from flexneuart_spark.plans import entries_stem as _stem
 from flexneuart_spark.plans import entries_bert as _bert
+from flexneuart_spark.plans import entries_lmart as _lmart
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
@@ -13,6 +14,7 @@ QUERIES_REG = {
     **_ext.EXT_QUERIES_REG,
     **_stem.STEM_QUERIES_REG,
     **_bert.BERT_QUERIES_REG,
+    **_lmart.LMART_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
@@ -21,5 +23,6 @@ ORACLE_SQL = {
     **_ext.EXT_ORACLE_SQL,
     **_stem.STEM_ORACLE_SQL,
     **_bert.BERT_ORACLE_SQL,
+    **_lmart.LMART_ORACLE_SQL,
 }
 

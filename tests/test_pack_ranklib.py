@@ -128,3 +128,79 @@ def test_ranklib_model_drives_fusion(spark):
     assert len(run) > 0
     for r in run:
         assert r.rank <= 5 and r.score >= 0
+
+
+# --- LambdaMART tree-ensemble evaluation (round-3) ---------------------------
+
+TREE_FIXTURE = "tests/fixtures/lambdamart.model"
+
+
+def _hand_score(f1, f2, f3):
+    """Hand-computed reference walk of tests/fixtures/lambdamart.model
+    (descend left iff value <= threshold; score = Σ weight·leaf)."""
+    t1 = -2.0 if f1 <= 0.5 else (1.0 if f2 <= 3.0 else 4.0)
+    t2 = (0.5 if f1 <= 1.5 else -0.5) if f3 <= 0.25 else 2.5
+    return 0.1 * t1 + 0.1 * t2 + 0.05 * 1.0
+
+
+def test_parse_and_eval_lambdamart_fixture():
+    from flexneuart_spark.io.ranklib import load_ranklib_ensemble
+
+    ens = load_ranklib_ensemble(TREE_FIXTURE)
+    assert len(ens.trees) == 3 and ens.feature_ids == [1, 2, 3]
+    # boundary rows included: f1 == 0.5 goes LEFT (<=), f3 == 0.25 goes LEFT
+    rows = [(0.5, 0.0, 0.25), (0.6, 3.0, 0.3), (2.0, 4.0, 0.0), (0.0, 9.9, 9.9)]
+    X = np.array(rows)
+    got = ens.eval_matrix(X)
+    want = np.array([_hand_score(*r) for r in rows])
+    assert np.allclose(got, want), (got, want)
+
+
+def test_parse_ensemble_errors():
+    from flexneuart_spark.io.ranklib import parse_ranklib_ensemble
+
+    with pytest.raises(ValueError, match="no <ensemble>"):
+        parse_ranklib_ensemble("## Linear\n1:0.5 2:0.5")
+    with pytest.raises(ValueError, match="empty"):
+        parse_ranklib_ensemble("<ensemble></ensemble>")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_ranklib_ensemble(
+            '<ensemble><tree id="1" weight="1"><split>'
+            "<feature>1</feature><threshold>0</threshold>"
+            '<split pos="left"><output>1</output></split>'
+            "</split></tree></ensemble>")
+
+
+def test_ensemble_rerank_matches_hand_walk(spark):
+    from flexneuart_spark.io.ranklib import load_ranklib_ensemble
+    from flexneuart_spark.operators.features import ensemble_rerank
+
+    ens = load_ranklib_ensemble(TREE_FIXTURE)
+    rows = [
+        ("q1", "d1", 0.5, 0.0, 0.25),
+        ("q1", "d2", 0.6, 3.0, 0.30),
+        ("q1", "d3", 2.0, 4.0, 0.00),
+        ("q2", "d1", 0.0, 9.9, 9.90),
+        ("q2", "d4", 2.0, 0.0, 0.50),
+    ]
+    feats = spark.createDataFrame(
+        rows, "query_id string, doc_id string, f_bm25 double, f_tm double, f_m1 double")
+    out = ensemble_rerank(feats, ens, ["f_bm25", "f_tm", "f_m1"], k=2)
+    got = {(r.query_id, r.doc_id): (r.score, r.rank) for r in out.collect()}
+    want_scores = {(q, d): _hand_score(f1, f2, f3) for q, d, f1, f2, f3 in rows}
+    for key, (score, _) in got.items():
+        assert abs(score - want_scores[key]) < 1e-12
+    # top-2 per query by (score desc, doc_id desc)
+    assert {d for q, d in got if q == "q1"} == {"d3", "d2"}
+    assert {d for q, d in got if q == "q2"} == {"d1", "d4"}
+
+
+def test_ensemble_rerank_feature_count_guard(spark):
+    from flexneuart_spark.io.ranklib import load_ranklib_ensemble
+    from flexneuart_spark.operators.features import ensemble_rerank
+
+    ens = load_ranklib_ensemble(TREE_FIXTURE)
+    feats = spark.createDataFrame(
+        [("q", "d", 1.0)], "query_id string, doc_id string, f1 double")
+    with pytest.raises(ValueError, match="feature id 3"):
+        ensemble_rerank(feats, ens, ["f1"])
