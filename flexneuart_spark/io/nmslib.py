@@ -51,10 +51,32 @@ def _write_part(rows, path: str, components: list[tuple[bool, int]]) -> int:
     return n
 
 
-def export_dense(df: DataFrame, out_dir: str, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+def _probe_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve the component dimension: use the caller-supplied value
+    (skips a driver job), else read the first vector — raising a clear
+    error on an empty frame or NULL leading vector instead of a
+    TypeError deep in ``len(None)``."""
+    if dim is not None:
+        return dim
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"cannot infer dim from {vec_col!r}: empty input or NULL first "
+            "vector — pass dim= explicitly to export an empty set"
+        )
+    return len(first[0])
+
+
+def export_dense(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
     """Export (id, dense vector) to per-partition binary part files."""
     os.makedirs(out_dir, exist_ok=True)
-    dim = len(df.select(vec_col).first()[0])
+    dim = _probe_dim(df, vec_col, dim)
 
     def part(it):
         from pyspark import TaskContext
@@ -81,12 +103,13 @@ def export_dense_sparse_fusion(
     vec_col: str = "embedding",
     ids_col: str = "term_ids",
     vals_col: str = "values",
+    dim: int | None = None,
 ) -> None:
     """Fusion export: per entry one dense component + one sparse component
     (inner join on id; ids present in only one frame are dropped, like the
     reference's per-extractor candidate intersection)."""
     os.makedirs(out_dir, exist_ok=True)
-    dim = len(dense_df.select(vec_col).first()[0])
+    dim = _probe_dim(dense_df, vec_col, dim)
     joined = dense_df.select(id_col, vec_col).join(
         sparse_df.select(id_col, ids_col, vals_col), id_col
     )

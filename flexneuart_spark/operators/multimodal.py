@@ -41,6 +41,38 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def synth_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Synthesize a minimal VALID grayscale 8-bit PNG from raw pixel
+    bytes (row-major, ``len == width*height``) using only stdlib
+    zlib/struct — no imaging library needed to WRITE, so the
+    ``real_decode`` Pillow kernel has a real e2e fixture wherever PIL
+    exists, and the writer itself is testable everywhere."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixel bytes, got {len(pixels)}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )  # filter 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _pil_available() -> bool:
     try:
         import PIL.Image  # noqa: F401
@@ -90,19 +122,23 @@ def decode_images(df: DataFrame, real_decode: bool = False, id_col: str = "doc_i
 
     ``real_decode=True`` dispatches on library availability: uses Pillow
     when importable, raises NotImplementedError otherwise (this runtime
-    ships no imaging libs). The default path emits a deterministic fake
-    decode (dims/features derived from payload bytes) so the plumbing is
-    end-to-end testable either way."""
-    use_pil = real_decode and _pil_available()
+    ships no imaging libs). Availability is probed INSIDE the kernel — on
+    the executor, where the decode actually runs — so a driver-only or
+    executor-only Pillow install behaves correctly either way. The
+    default path emits a deterministic fake decode (dims/features derived
+    from payload bytes) so the plumbing is end-to-end testable either
+    way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _pil_available() if real_decode else False
         for pdf in batches:
             if real_decode:
                 if use_pil:
                     yield _pil_decode(pdf["payload"], pdf[id_col])
                     continue
                 raise NotImplementedError(
-                    "real image decode requires Pillow — not available in this runtime"
+                    "real image decode requires Pillow on the EXECUTORS — "
+                    "not importable in this task's Python worker"
                 )
             payloads = pdf["payload"]
             out = pd.DataFrame(

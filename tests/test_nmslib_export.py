@@ -22,6 +22,16 @@ def test_dense_export_roundtrip(spark, tmp_path):
         assert np.array_equal(got[k], want[k])
 
 
+def test_dense_export_empty_input(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty input"):
+        export_dense(emb, str(tmp_path / "e1"))
+    # explicit dim → valid no-op export (no parts, reader yields nothing)
+    out = str(tmp_path / "e2")
+    export_dense(emb, out, dim=64)
+    assert list(read_export(out)) == []
+
+
 def test_fusion_export_roundtrip(spark, tmp_path):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40).select(
         F.col("vec_id").cast("string").alias("doc_id"), "embedding"

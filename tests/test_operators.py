@@ -98,6 +98,45 @@ def test_multimodal_real_decode_gated(spark, docs):
         assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
 
 
+def test_synth_png_structure():
+    """The stdlib PNG writer emits a structurally valid file: signature,
+    IHDR geometry, zlib-decompressible IDAT with per-row filter bytes."""
+    import struct
+    import zlib
+
+    px = bytes(range(12))
+    png = multimodal.synth_png(4, 3, px)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png[12:16] == b"IHDR"
+    w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+    assert (w, h, depth, ctype) == (4, 3, 8, 0)
+    idat_off = png.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", png[idat_off - 4 : idat_off])
+    raw = zlib.decompress(png[idat_off + 4 : idat_off + 4 + idat_len])
+    assert raw == b"\x00" + px[0:4] + b"\x00" + px[4:8] + b"\x00" + px[8:12]
+    with pytest.raises(ValueError):
+        multimodal.synth_png(2, 2, b"\x00")
+
+
+def test_multimodal_real_decode_png_e2e(spark):
+    """End-to-end Pillow kernel over synthesized valid PNGs (skipped where
+    Pillow is absent; the writer above is exercised regardless)."""
+    pytest.importorskip("PIL")
+    rows = [
+        (1, multimodal.synth_png(4, 3, bytes(12))),
+        (2, multimodal.synth_png(2, 5, bytes([255] * 10))),
+        (3, b"not a png"),  # undecodable → NULL dims, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.decode_images(df, real_decode=True).collect()}
+    assert (out[1].width, out[1].height) == (4, 3)
+    assert (out[2].width, out[2].height) == (2, 5)
+    assert out[1].n_bytes == len(rows[0][1])
+    assert len(out[1].feature) == 4 and all(0.0 <= x <= 1.0 for x in out[1].feature)
+    assert out[2].feature == pytest.approx([1.0] * 4)
+    assert out[3].width is None and out[3].feature is None
+
+
 def test_frame_sampling(spark, docs):
     p = multimodal.attach_payload(docs.limit(3))
     frames = multimodal.sample_frames(p, every_n=4)
