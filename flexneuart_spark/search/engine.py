@@ -344,9 +344,16 @@ class SegmentedSearcher:
         self.tables = [IndexTables(p) for p in sorted(segment_dirs)]
         self.k1, self.b = k1, b
         self.tokenize = TOKENIZERS[tokenizer]
-        per = [t.stats(spark) for t in self.tables]
-        self.n_docs = sum(p[0] for p in per)
-        self.total_tokens = sum(p[1] for p in per)
+        # ONE multi-path read over every segment's 1-row stats table —
+        # O(1) driver round-trips regardless of segment count (a
+        # thousand-segment incremental index pays one job, not 1000)
+        agg = (
+            spark.read.parquet(*[t.corpus_stats_dir for t in self.tables])
+            .agg(F.sum("n_docs").alias("nd"), F.sum("total_tokens").alias("tt"))
+            .collect()[0]
+        )
+        self.n_docs = int(agg.nd or 0)
+        self.total_tokens = int(agg.tt or 0)
         self.avgdl = (self.total_tokens / self.n_docs) if self.n_docs else 1.0
 
     def search(self, queries: list[tuple[str, str]], k: int = 10, pruned: bool = True) -> DataFrame:
@@ -357,13 +364,19 @@ class SegmentedSearcher:
         vocab = sorted({t for d in qtf.values() for t in d})
         if not vocab:
             return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
-        # exact global df merge across segments (tiny: |vocab| rows/segment)
+        # exact global df merge across segments — ONE multi-path read +
+        # groupBy, a single collect of ≤|vocab| rows however many
+        # segments exist (no per-segment driver round-trips)
         df_glob: Counter = Counter()
-        for t in self.tables:
-            for r in (
-                t.dictionary(self.spark).filter(F.col("term").isin(vocab)).select("term", "df").collect()
-            ):
-                df_glob[r.term] += int(r.df)
+        merged = (
+            self.spark.read.parquet(*[t.dictionary_dir for t in self.tables])
+            .filter(F.col("term").isin(vocab))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        for r in merged:
+            df_glob[r.term] = int(r.df)
         if not df_glob:
             return self.spark.createDataFrame([], _EMPTY_RUN_SCHEMA)
         idf = {

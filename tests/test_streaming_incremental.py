@@ -80,3 +80,31 @@ def test_compact_segments_matches_monolithic(spark, tmp_path):
     sha_c = {r.doc_id: r.content_sha256 for r in compacted.docmap(spark).collect()}
     sha_m = {r.doc_id: r.content_sha256 for r in mono.docmap(spark).collect()}
     assert sha_c == sha_m
+
+
+def test_segmented_metadata_reads_are_batched(spark, tmp_path, monkeypatch):
+    """With 20 segments, SegmentedSearcher must do O(1) driver
+    round-trips: ONE multi-path stats collect at init and ONE merged
+    dictionary collect per search() — not one per segment."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    corpus = make_corpus(n_docs=200, seed=42)
+    segs = []
+    for i in range(20):
+        d = str(tmp_path / f"seg{i:02d}")
+        build_index(
+            spark, spark.createDataFrame(corpus.iloc[i * 10 : (i + 1) * 10]), d, num_shards=2
+        )
+        segs.append(d)
+
+    calls: list[int] = []
+    orig = CDF.collect
+    monkeypatch.setattr(CDF, "collect", lambda self: (calls.append(1), orig(self))[1])
+
+    s = SegmentedSearcher(spark, segs)
+    assert len(calls) == 1, f"init did {len(calls)} collects for 20 segments"
+    assert s.n_docs == 200
+    run = s.search([("q1", "def return class"), ("q2", "import numpy")], k=5)
+    assert len(calls) == 2, f"search did {len(calls) - 1} metadata collects"
+    rows = run.collect()
+    assert rows and all(r.rank >= 1 for r in rows)
