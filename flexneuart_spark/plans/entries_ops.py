@@ -497,12 +497,52 @@ SELECT * FROM ranked WHERE rank <= 5
 
 def q_emb_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection (SRP-LSH) ANN top-5 — the production-recall scale
-    path. The seeded Gaussian projection is not SQL-expressible, so this
-    entry has NO DuckDB oracle (driver records rows-only); exactness of
-    the bucketed search vs brute force is covered by
-    tests/test_similarity.py recall assertions."""
+    path. The seeded Gaussian projection IS deterministic, so the DuckDB
+    oracle is GENERATED: the same ``default_rng(13)`` 64x6 matrix is
+    embedded as full-precision SQL literals and each sign bit becomes a
+    ``list_dot_product(v, [col_j]) >= 0`` CASE — one seed, two derived
+    evaluators (the krovetz/lambdamart generated-twin pattern). Sign
+    agreement is safe: both sides compute the dot in float64 and a
+    Gaussian projection of 64-dim data landing within ~1e-12 of zero
+    (where summation order could flip the bit) has negligible mass."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.rp_ann_topk(emb, EMB_QUERY_IDS, k=5, nbits=6, seed=13)
+
+
+def _rp_bucket_sql(dim: int = 64, nbits: int = 6, seed: int = 13) -> str:
+    """SQL expression for the SRP-LSH bucket string: sign bits of
+    ``v @ R`` with R the seeded Gaussian the Spark kernel draws
+    (operators/similarity.py::rp_signature) — emitted as literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((dim, nbits))
+    bits = []
+    for j in range(nbits):
+        vec = ", ".join(repr(float(x)) for x in proj[:, j])
+        bits.append(f"(CASE WHEN list_dot_product(v, [{vec}]) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+SQL_EMB_RP_ANN = f"""
+WITH {SQL_EMB},
+bkt AS (SELECT vec_id, v, nrm, {_rp_bucket_sql()} AS bucket FROM emb),
+q AS (
+  SELECT vec_id AS query_vec_id, bucket, v AS qv, nrm AS qn
+  FROM bkt WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cos_r
+  FROM bkt e JOIN q USING (bucket) WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
 
 
 def q_emb_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +818,7 @@ OPS_ORACLE_SQL = {
     "emb_lsh_multiprobe": SQL_EMB_LSH_MULTIPROBE,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_ivf_trained": SQL_EMB_IVF_TRAINED,
+    "emb_rp_ann": SQL_EMB_RP_ANN,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
