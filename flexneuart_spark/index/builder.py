@@ -408,6 +408,7 @@ def auto_num_shards(
     bytes_per_token: float = 6.0,
     target_shard_tokens: int = 16_000_000,
     max_shards: int = 65_536,
+    min_shards: int = 1,
 ) -> int:
     """Shard-count sizing rule (the per-shard memory knob).
 
@@ -421,11 +422,17 @@ def auto_num_shards(
     fits a 2 GiB-per-core executor with headroom). The formula is
     monotone in corpus size, so a 100× corpus gets 100× shards and the
     same per-task footprint; query cost stays flat because search prunes
-    by term first and fans out per shard."""
+    by term first and fans out per shard.
+
+    ``min_shards`` is a parallelism floor: extra shards never raise the
+    per-task footprint (they shrink it), but fewer shards than cores
+    leaves the cluster idle during the postings stage, so callers pass
+    the session's default parallelism. The memory bound is one-sided —
+    flooring can only lower peak task memory."""
     est_tokens = max(1.0, total_bytes * compression_factor / bytes_per_token)
     import math
 
-    return min(max_shards, max(1, math.ceil(est_tokens / target_shard_tokens)))
+    return min(max_shards, max(1, min_shards, math.ceil(est_tokens / target_shard_tokens)))
 
 
 def build_index(
@@ -462,7 +469,8 @@ def build_index(
 
     if num_shards is None:
         est = estimate_corpus_bytes(corpus)
-        num_shards = auto_num_shards(est) if est else DEFAULT_NUM_SHARDS
+        floor = spark.sparkContext.defaultParallelism
+        num_shards = auto_num_shards(est, min_shards=floor) if est else max(DEFAULT_NUM_SHARDS, floor)
 
     docs = derive_doc_id(corpus)
     docs = docs.withColumn("shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_shards)).cast("int"))

@@ -193,7 +193,8 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> IndexTables:
             F.col("doc_id"), F.col("text").alias("content")
         )
         _INDEX_CACHE[sf_dir] = build_index(
-            spark, docs, idx, num_shards=8, tokenizer="whitespace", text_col="content",
+            spark, docs, idx, num_shards=None,  # auto_num_shards sizing rule
+            tokenizer="whitespace", text_col="content",
             store_positions=True,  # also serves the close-pair proximity entries
         )
     return _INDEX_CACHE[sf_dir]

@@ -155,6 +155,10 @@ def test_auto_num_shards_rule():
     # bounded
     assert auto_num_shards(0) == 1
     assert auto_num_shards(10**18) == 65_536
+    # parallelism floor: never fewer shards than cores (extra shards only
+    # LOWER per-task memory, so the bound is one-sided)
+    assert auto_num_shards(32_000_000, min_shards=16) == 16
+    assert auto_num_shards(10**18, min_shards=16) == 65_536
 
 
 def test_build_with_auto_shards(spark, tmp_path_factory):
