@@ -63,6 +63,51 @@ def make_corpus(n_docs: int = 2000, seed: int = 42, n_ids: int = 5000) -> pd.Dat
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
+def make_corpus_skewed(
+    n_docs: int = 2000,
+    seed: int = 7,
+    n_ids: int = 2000,
+    boilerplate_frac: float = 0.30,
+    boiler_tokens: int = 60,
+) -> pd.DataFrame:
+    """Stress corpus for the skew guards: Zipf head tokens PLUS a
+    boilerplate-dominated head — ``boilerplate_frac`` of the docs open
+    with the SAME ~``boiler_tokens``-token license-header block (a
+    handful get one token perturbed), followed by a short unique tail.
+    That one block floods every bucket key the dedup candidate
+    generators group on (shared shingles, MinHash bands, SimHash
+    blocks), so the ``max_shingle_df`` / ``max_bucket_size`` caps must
+    fire; the index builder additionally sees a term-frequency head far
+    above the Zipf tail. Same schema / doc-id scheme as
+    :func:`make_corpus`; deterministic."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(vocabulary(n_ids), dtype=object)
+    ranks = np.arange(len(vocab), dtype=np.float64)
+    p = 1.0 / (ranks + 1.0)
+    p /= p.sum()
+
+    boiler = list(rng.choice(vocab, size=boiler_tokens, p=p))
+    n_boiler = int(n_docs * boilerplate_frac)
+    langs = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
+    rows = []
+    for i in range(n_docs):
+        lang = LANGS[langs[i]]
+        repo = f"org{(i // 50) % 100}/repo{i % 50}"
+        path = f"src/d{i % 13}/f{i}.{LANG_EXT[lang]}"
+        commit = hashlib.sha256(f"commit:{repo}:{path}".encode()).hexdigest()[:40]
+        if i < n_boiler:
+            block = list(boiler)
+            if i % 17 == 0:  # sprinkle near-identical variants
+                block[int(rng.integers(0, boiler_tokens))] = f"v{int(rng.integers(0, n_ids))}"
+            tail = list(rng.choice(vocab, size=int(rng.integers(3, 9)), p=p))
+            toks = block + tail
+        else:
+            toks = list(rng.choice(vocab, size=int(rng.integers(20, 120)), p=p))
+        parts = [" ".join(toks[j : j + 12]) for j in range(0, len(toks), 12)]
+        rows.append((repo, path, commit, lang, "\n".join(parts)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
 def make_queries(n_queries: int = 40, seed: int = 43, n_ids: int = 5000) -> pd.DataFrame:
     """Query set mirroring QuestionFields.jsonl (flexneuart/io/queries.py:13-19):
     1-8 tokens, mix of head/tail terms, ~10% OOV tokens, one empty query
