@@ -6,6 +6,7 @@ from flexneuart_spark.plans import entries_prox as _prox
 from flexneuart_spark.plans import entries_stem as _stem
 from flexneuart_spark.plans import entries_bert as _bert
 from flexneuart_spark.plans import entries_lmart as _lmart
+from flexneuart_spark.plans import entries_lemma as _lemma
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
@@ -15,6 +16,7 @@ QUERIES_REG = {
     **_stem.STEM_QUERIES_REG,
     **_bert.BERT_QUERIES_REG,
     **_lmart.LMART_QUERIES_REG,
+    **_lemma.LEMMA_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
@@ -24,5 +26,6 @@ ORACLE_SQL = {
     **_stem.STEM_ORACLE_SQL,
     **_bert.BERT_ORACLE_SQL,
     **_lmart.LMART_ORACLE_SQL,
+    **_lemma.LEMMA_ORACLE_SQL,
 }
 
