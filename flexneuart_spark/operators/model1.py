@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 PROB_SELF_TRAN = 0.5
 MODEL1_LAMBDA = 0.05
@@ -145,3 +146,97 @@ def model1_scores(
         .join(F.broadcast(qnorm), "query_id")
         .select("query_id", "doc_id", (F.col("s") / F.col("qnorm")).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IBM Model 1 EM training (closes the training side of C7)
+# ---------------------------------------------------------------------------
+
+NULL_TOKEN = "@NULL@"  # GIZA's empty word (vocab id 0); '@' never tokenizes
+
+
+def model1_em_train(
+    pairs: DataFrame,
+    iterations: int = 5,
+    include_null: bool = True,
+) -> DataFrame:
+    """Train an IBM Model 1 translation table T(t|s) with EM over parallel
+    sentence pairs — the Spark-native replacement for the reference's
+    external MGIZA subprocess (``scripts/giza/run_mgiza.sh:11-20`` runs
+    ``plain2snt``/``snt2cooc``/``mgiza`` for ``GIZA_ITER_QTY`` Model 1
+    iterations over the bitext that ``apps/CreateBitextFromQRELs.java``
+    emits; ``scripts/giza/create_tran.sh:124-136`` orchestrates).
+
+    ``pairs``: (pair_id, src_tokens: array<string>, tgt_tokens:
+    array<string>). Returns (s_term, t_term, p) with Σ_t p = 1 per s —
+    the same (w_term, q_term, p) shape ``model1_scores`` consumes after
+    renaming.
+
+    Semantics (Brown et al. 1993, the classic Model 1 EM):
+
+    - init: T0(t|s) uniform over s's co-occurrence support;
+    - E-step, per pair p and target token t (multiplicity cnt_t):
+      z(p,t) = Σ_s cnt_s(p)·T(t|s); posterior count
+      c(s,t) += cnt_t·cnt_s(p)·T(t|s)/z(p,t);
+    - M-step: T'(t|s) = c(s,t)/Σ_t' c(s,t');
+    - the NULL source word (``include_null``, GIZA default) joins every
+      pair once, absorbing unaligned target mass.
+
+    Scale posture (100 TB bitext): the working set is the co-occurrence
+    table — Σ_p |unique src|·|unique tgt| rows, bounded because bitext
+    chunks are capped at ratio·|query| words (``q_bitext_pairs``); it is
+    computed ONCE, persisted, and every EM round reuses it. Each round is
+    two joins + three aggregations, all keyed by (s,t) or (pair,t) — no
+    per-word hot key, since the finest-grained groupBy always includes t
+    or pair, and partial aggregation combines map-side. The model is
+    ``localCheckpoint``-ed per round to truncate lineage. Cost is
+    O(iterations·|cooc|) with no driver-side data movement.
+    """
+    src = (
+        pairs.select("pair_id", F.explode("src_tokens").alias("s_term"))
+        .groupBy("pair_id", "s_term")
+        .agg(F.count("*").cast("double").alias("cnt_s"))
+    )
+    if include_null:
+        src = src.unionByName(
+            pairs.select(
+                "pair_id",
+                F.lit(NULL_TOKEN).alias("s_term"),
+                F.lit(1.0).alias("cnt_s"),
+            ).distinct()
+        )
+    tgt = (
+        pairs.select("pair_id", F.explode("tgt_tokens").alias("t_term"))
+        .groupBy("pair_id", "t_term")
+        .agg(F.count("*").cast("double").alias("cnt_t"))
+    )
+    cooc = src.join(tgt, "pair_id").select(
+        "pair_id", "s_term", "t_term", "cnt_s", "cnt_t"
+    )
+    cooc = cooc.persist()
+    try:
+        sup = cooc.select("s_term", "t_term").distinct()
+        w = Window.partitionBy("s_term")
+        model = sup.select(
+            "s_term", "t_term", (F.lit(1.0) / F.count("*").over(w)).alias("p")
+        ).localCheckpoint()
+        for _ in range(iterations):
+            scored = cooc.join(model, ["s_term", "t_term"]).select(
+                "pair_id",
+                "s_term",
+                "t_term",
+                (F.col("cnt_s") * F.col("p")).alias("score"),
+                "cnt_t",
+            )
+            z = scored.groupBy("pair_id", "t_term").agg(F.sum("score").alias("z"))
+            counts = (
+                scored.join(z, ["pair_id", "t_term"])
+                .groupBy("s_term", "t_term")
+                .agg(F.sum(F.col("cnt_t") * F.col("score") / F.col("z")).alias("c"))
+            )
+            model = counts.select(
+                "s_term", "t_term", (F.col("c") / F.sum("c").over(w)).alias("p")
+            ).localCheckpoint()
+        return model
+    finally:
+        cooc.unpersist()

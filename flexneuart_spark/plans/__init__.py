@@ -7,6 +7,7 @@ from flexneuart_spark.plans import entries_stem as _stem
 from flexneuart_spark.plans import entries_bert as _bert
 from flexneuart_spark.plans import entries_lmart as _lmart
 from flexneuart_spark.plans import entries_lemma as _lemma
+from flexneuart_spark.plans import entries_model1 as _m1
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
@@ -17,6 +18,7 @@ QUERIES_REG = {
     **_bert.BERT_QUERIES_REG,
     **_lmart.LMART_QUERIES_REG,
     **_lemma.LEMMA_QUERIES_REG,
+    **_m1.MODEL1_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
@@ -27,5 +29,6 @@ ORACLE_SQL = {
     **_bert.BERT_ORACLE_SQL,
     **_lmart.LMART_ORACLE_SQL,
     **_lemma.LEMMA_ORACLE_SQL,
+    **_m1.MODEL1_ORACLE_SQL,
 }
 
