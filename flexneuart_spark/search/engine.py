@@ -48,7 +48,18 @@ from pyspark.sql import functions as F
 from flexneuart_spark.config import BM25_B, BM25_K1
 from flexneuart_spark.functions.tokenize import TOKENIZERS
 from flexneuart_spark.index.builder import IndexTables
-from flexneuart_spark.search.scoring import TermPostings, exhaustive_topk, maxscore_topk
+from flexneuart_spark.search.scoring import TermPostings, bmw_topk, exhaustive_topk, maxscore_topk
+
+_KERNELS = {"maxscore": maxscore_topk, "bmw": bmw_topk, "exhaustive": exhaustive_topk}
+
+
+def _resolve_kernel(pruned: bool, kernel: str | None):
+    """``kernel`` names one of the result-identical top-k kernels
+    (maxscore | bmw | exhaustive); when None, ``pruned`` keeps its
+    original meaning (True → maxscore, False → exhaustive)."""
+    if kernel is None:
+        return maxscore_topk if pruned else exhaustive_topk
+    return _KERNELS[kernel]
 
 _SCORED_SCHEMA = "seg int, shard int, query_id string, ord long, score double"
 _EMPTY_RUN_SCHEMA = "query_id string, doc_id string, score double, rank int"
@@ -64,12 +75,12 @@ def _search_frames(
     k: int,
     k1: float,
     b: float,
-    pruned: bool,
+    kernel,
 ) -> DataFrame:
     """Core search over generic frames. ``posts`` must carry
     (seg, shard, term, payload, block_*); ``fwd_ids`` (seg, shard, ord,
-    doc_id)."""
-    kernel = maxscore_topk if pruned else exhaustive_topk
+    doc_id). ``kernel`` is one of the scoring kernels (result-identical;
+    see ``_resolve_kernel``)."""
     qweights = {
         qid: {t: c * idf[t] * (k1 + 1.0) for t, c in d.items() if t in idf}
         for qid, d in qtf.items()
@@ -123,12 +134,11 @@ def _search_fast(
     k: int,
     k1: float,
     b: float,
-    pruned: bool,
+    kernel,
 ) -> DataFrame:
     """Single-job search: the kernel labels ordinals from the broadcast
     per-shard doc_id arrays; the ≤ k·shards·queries rows are merged
     driver-side under the (score desc, doc_id desc) tie rule."""
-    kernel = maxscore_topk if pruned else exhaustive_topk
     qweights = {
         qid: {t: c * idf[t] * (k1 + 1.0) for t, c in d.items() if t in idf}
         for qid, d in qtf.items()
@@ -280,9 +290,14 @@ class Searcher:
         k: int = 10,
         pruned: bool = True,
         driver_merge: bool = False,
+        kernel: str | None = None,
     ) -> DataFrame:
         """queries: [(query_id, text)] → run DataFrame
         (query_id, doc_id, score, rank) under the reference tie rule.
+
+        ``kernel`` picks the per-shard top-k kernel by name
+        ("maxscore" | "bmw" | "exhaustive" — result-identical,
+        equivalence-tested); default follows ``pruned``.
 
         ``driver_merge=True`` (warmed searchers, doc map within the warm
         limit) labels/merges the ≤ k·shards·queries rows driver-side in a
@@ -312,7 +327,8 @@ class Searcher:
                 self.spark,
                 posts_src.filter(F.col("term").isin(live)),
                 bcast,
-                idf, self.avgdl, qtf, k, self.k1, self.b, pruned,
+                idf, self.avgdl, qtf, k, self.k1, self.b,
+                _resolve_kernel(pruned, kernel),
             )
         posts = posts_src.filter(F.col("term").isin(live)).withColumn("seg", F.lit(0))
         fwd_ids = self._fwd_ids if self._fwd_ids is not None else (
@@ -321,7 +337,8 @@ class Searcher:
             .withColumn("seg", F.lit(0))
         )
         return _search_frames(
-            self.spark, posts, fwd_ids, idf, self.avgdl, qtf, k, self.k1, self.b, pruned
+            self.spark, posts, fwd_ids, idf, self.avgdl, qtf, k, self.k1, self.b,
+            _resolve_kernel(pruned, kernel),
         )
 
 
@@ -356,7 +373,13 @@ class SegmentedSearcher:
         self.total_tokens = int(agg.tt or 0)
         self.avgdl = (self.total_tokens / self.n_docs) if self.n_docs else 1.0
 
-    def search(self, queries: list[tuple[str, str]], k: int = 10, pruned: bool = True) -> DataFrame:
+    def search(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = 10,
+        pruned: bool = True,
+        kernel: str | None = None,
+    ) -> DataFrame:
         import math
 
         qtoks = {qid: self.tokenize(text) for qid, text in queries}
@@ -391,5 +414,6 @@ class SegmentedSearcher:
             posts = p if posts is None else posts.unionByName(p)
             fwd_ids = f_ if fwd_ids is None else fwd_ids.unionByName(f_)
         return _search_frames(
-            self.spark, posts, fwd_ids, idf, self.avgdl, qtf, k, self.k1, self.b, pruned
+            self.spark, posts, fwd_ids, idf, self.avgdl, qtf, k, self.k1, self.b,
+            _resolve_kernel(pruned, kernel),
         )

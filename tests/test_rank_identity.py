@@ -59,6 +59,15 @@ def test_engine_exhaustive_rank_identity(spark, setup):
         assert_rank_identical(run.get(qid, []), want)
 
 
+def test_engine_bmw_rank_identity(spark, setup):
+    """Block-Max WAND kernel (the north rule's literal algorithm) through
+    the full distributed engine: rank-identical to the numpy oracle."""
+    tables, qlist, golden, _, _ = setup
+    run = _collect_run(Searcher(spark, tables).search(qlist, k=K, kernel="bmw"))
+    for qid, want in golden.items():
+        assert_rank_identical(run.get(qid, []), want)
+
+
 def test_relational_rank_identity(spark, setup):
     _, qlist, golden, corpus, queries = setup
     docs = spark.createDataFrame(
