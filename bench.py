@@ -329,7 +329,9 @@ def main() -> None:
             "  independent of corpus size).\n"
             "- dedup_embedding / dedup_minhash_lsh: banded-LSH candidate\n"
             "  generation — candidate volume tracks bucket collisions, never n^2;\n"
-            "  plan-asserted free of CartesianProduct.\n"
+            "  plan-asserted free of CartesianProduct, and every band bucket is\n"
+            "  capped (max_bucket_size=2000 default + oversized_buckets audit),\n"
+            "  so one boilerplate-dominated bucket cannot OOM a task.\n"
             "- dedup_components: rounds = pair-graph diameter (near-cliques for\n"
             "  dedup), each round one shuffle on id; edges localCheckpoint-ed so\n"
             "  the detector DAG runs once.\n"

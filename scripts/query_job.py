@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--run-id", default="flexneuart_spark")
     ap.add_argument("--tokenizer", choices=["code", "whitespace", "krovetz"], default="code")
+    ap.add_argument("--kernel", choices=["maxscore", "bmw", "exhaustive"], default="maxscore",
+                    help="top-k scoring kernel (result-identical; maxscore is fastest in numpy)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,7 +37,7 @@ def main() -> None:
         qdf = spark.read.parquet(args.queries)
     queries = [(r.query_id, r.text) for r in qdf.select("query_id", "text").collect()]
     s = Searcher(spark, args.index, tokenizer=args.tokenizer)
-    run = s.search(queries, k=args.k)
+    run = s.search(queries, k=args.k, kernel=args.kernel)
     write_run(run, args.output, run_id=args.run_id)
     print(f"wrote run for {len(queries)} queries to {args.output}")
     spark.stop()

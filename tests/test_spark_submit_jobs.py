@@ -1,0 +1,104 @@
+"""End-to-end ``spark-submit --py-files`` launch (north rule: "launched
+via spark-submit --py-files on a multi-executor cluster").
+
+Packages the library with ``scripts/make_pyfiles.py``, then runs the two
+job entrypoints as real subprocess ``spark-submit`` launches — NOT via
+the test session's PYTHONPATH — so import resolution happens exactly the
+way a cluster executor would resolve it (from the shipped zip). Asserts
+the build emits its stats JSON line, the index answers a query through
+``scripts/query_job.py`` (BMW kernel, exercising the CLI flag), and the
+TREC run file has the right shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    SPARK_SUBMIT is None, reason="spark-submit not on PATH"
+)
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must satisfy every import
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    proc = subprocess.run(
+        args, cwd=cwd, env=env, capture_output=True, text=True, timeout=420
+    )
+    assert proc.returncode == 0, f"{args}\nSTDOUT:\n{proc.stdout[-3000:]}\nSTDERR:\n{proc.stderr[-3000:]}"
+    return proc.stdout
+
+
+def test_spark_submit_build_then_query(tmp_path):
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert zip_out.endswith("flexneuart_spark.zip") and os.path.exists(zip_out)
+
+    idx = str(tmp_path / "idx")
+    out = _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "build_index_job.py"),
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", idx,
+            "--num-shards", "4",
+            "--tokenizer", "whitespace",
+        ],
+        cwd=str(tmp_path),  # NOT the repo root: imports must come from the zip
+    )
+    stats = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
+    assert stats["n_docs"] > 0 and stats["total_tokens"] > 0
+
+    qfile = tmp_path / "queries.jsonl"
+    qfile.write_text(
+        '{"query_id": "q1", "text": "the data of a system"}\n'
+        '{"query_id": "q_oov", "text": "zzzzzzzz"}\n'
+    )
+    run_path = str(tmp_path / "run.txt")
+    _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "query_job.py"),
+            "--index", idx,
+            "--queries", str(qfile),
+            "--output", run_path,
+            "--k", "5",
+            "--tokenizer", "whitespace",
+            "--kernel", "bmw",
+        ],
+        cwd=str(tmp_path),
+    )
+    # write_run is a Spark text sink: a directory of part files
+    import glob
+
+    raw = "".join(
+        open(p).read() for p in sorted(glob.glob(os.path.join(run_path, "part-*")))
+    )
+    lines = [ln.split() for ln in raw.splitlines() if ln]
+    assert lines, "empty run file"
+    # TREC format: qid Q0 doc_id rank score run_id
+    assert all(len(p) == 6 and p[1] == "Q0" for p in lines)
+    q1 = [p for p in lines if p[0] == "q1"]
+    assert 1 <= len(q1) <= 5
+    assert [int(p[3]) for p in q1] == list(range(1, len(q1) + 1))
+    assert not [p for p in lines if p[0] == "q_oov"]  # OOV ⇒ no rows
