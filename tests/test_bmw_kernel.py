@@ -111,6 +111,49 @@ def test_bmw_edges():
     _assert_same(bmw_topk(e, 10_000, AVGDL), exhaustive_topk(e, 10_000, AVGDL))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _posting = st.tuples(
+        st.integers(min_value=0, max_value=300),  # doc ord
+        st.integers(min_value=1, max_value=9),    # tf
+        st.integers(min_value=1, max_value=200),  # dl
+    )
+    _term_strategy = st.tuples(
+        st.lists(_posting, min_size=1, max_size=60, unique_by=lambda p: p[0]),
+        st.floats(min_value=0.01, max_value=8.0, allow_nan=False),
+    )
+
+    @given(
+        terms=st.lists(_term_strategy, min_size=1, max_size=5),
+        k=st.integers(min_value=1, max_value=20),
+        block=st.sampled_from([2, 4, 16]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmw_property_equivalence(terms, k, block):
+        """Any posting-list shape hypothesis can produce (tiny blocks,
+        duplicate tfs, tied scores, singleton lists) ⇒ BMW == exhaustive
+        on ords AND bit-identical scores."""
+        entries = []
+        for postings, weight in terms:
+            postings = sorted(postings)
+            o = np.array([p[0] for p in postings], dtype=np.int64)
+            t = np.array([p[1] for p in postings], dtype=np.int64)
+            l = np.array([p[2] for p in postings], dtype=np.int64)
+            enc = encode_postings(o, t, l, block=block)
+            entries.append(
+                TermPostings(
+                    enc["payload"], enc["block_off"], enc["block_n"],
+                    enc["block_max_doc"], enc["block_max_tf"], enc["block_min_dl"],
+                    weight,
+                )
+            )
+        _assert_same(bmw_topk(entries, k, AVGDL), exhaustive_topk(entries, k, AVGDL))
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_bmw_disjoint_and_duplicate_terms():
     """Disjoint lists (pure union) and the same term appearing twice
     (qtf folding upstream normally prevents it, the kernel must still
