@@ -105,35 +105,66 @@ def jaccard_near_duplicates(
     missed only if ALL its shared shingles are head shingles, which at
     Jaccard ≥ 0.8 between two ~normal docs essentially never happens. Pass
     ``None`` to explicitly opt out (exact candidates, unsafe at scale);
-    ``dropped_head_shingles`` reports what the cap removed."""
-    sh = shingles(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # Candidate generation in ONE shuffle: group ids per shingle, expand
-    # the C(df,2) ordered pairs JVM-side (nested transform over the sorted
-    # id list — no self-join, so the shingle table is shuffled once, not
-    # twice). The df cap bounds the expansion at C(cap,2) per shingle —
-    # the skew guard AND the memory bound of the posting-list expansion.
+    ``dropped_head_shingles`` reports what the cap removed.
+
+    Cost shape: ONE shuffle builds the posting table (shingle → sorted id
+    array), localCheckpoint materializes it once, and everything else —
+    per-doc set sizes, candidate pairs, the intersection count, and the
+    head correction — derives from those blocks without rescanning the
+    corpus. Pair expansion doubles as the intersection count: each shared
+    uncapped shingle emits its pair exactly once, so the groupBy-count of
+    the expansion IS the body intersection size. Only when the cap
+    actually dropped shingles does a correction join run, and it joins the
+    (small) candidate set against ONLY the head postings — never the full
+    shingle table. (localCheckpoint instead of persist: the blocks are
+    reclaimed by the ContextCleaner once the result DataFrame is dropped,
+    so repeated calls in a long session don't accumulate cached blocks.)"""
+    sh = shingles(df, text_col, id_col, n)
     posting = sh.groupBy("shingle").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-    posting = posting.filter(F.size("ids") >= 2)
+    posting = posting.localCheckpoint()
+    sizes = (
+        posting.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    body = posting.filter(F.size("ids") >= 2)
+    head = None
     if max_shingle_df is not None:
-        posting = posting.filter(F.size("ids") <= max_shingle_df)
-    cand = (
-        posting.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
-    # Exact shared-shingle count over the FULL (uncapped) shingle table:
-    # the candidate set is small (bucket collisions), so joining it back
-    # to `sh` twice is a candidate-bounded join, and the similarity is
-    # unbiased even for pairs sharing capped head shingles.
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        head = body.filter(F.size("ids") > max_shingle_df)
+        body = body.filter(F.size("ids") <= max_shingle_df)
+    # Candidate generation AND intersection count in one pass: expand the
+    # C(df,2) ordered pairs JVM-side (nested transform over the sorted id
+    # list — no self-join) and count occurrences per pair. The df cap
+    # bounds the expansion at C(cap,2) per shingle — the skew guard AND
+    # the memory bound of the posting-list expansion.
     inter = (
-        cand.join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
+        body.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n_body"))
     )
+    if head is not None and not head.isEmpty():
+        # The cap dropped head shingles: correct the intersection count by
+        # joining the candidate set against the head postings only, so the
+        # reported similarity stays the FULL-set Jaccard (unbiased) while
+        # the correction cost is candidate-bounded, not corpus-bounded.
+        hp = head.select("shingle", F.explode("ids").alias("_hid"))
+        ha = hp.select(F.col("_hid").alias("id_a"), "shingle")
+        hb = hp.select(F.col("_hid").alias("id_b"), "shingle")
+        corr = (
+            inter.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_head"))
+        )
+        inter = inter.join(corr, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            (F.col("n_body") + F.coalesce(F.col("n_head"), F.lit(0))).alias("n_inter"),
+        )
+    else:
+        inter = inter.select("id_a", "id_b", F.col("n_body").alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
