@@ -60,14 +60,31 @@ def average_precision(run: DataFrame, qrels: DataFrame, k: int = 1000) -> DataFr
     )
 
 
-def ndcg_at(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
-    """NDCG@k with the (2^grade − 1)/log2(rank+1) gain used by trec_eval's
-    ndcg_cut when grades are binary reduces to 1/log2(rank+1)."""
+def _gain(grade, gain: str):
+    """Per-doc NDCG gain for a positive grade. ``linear`` is what both
+    trec_eval's ndcg_cut and the reference's internal eval use
+    (``flexneuart/eval.py::NormalizedDiscountedCumulativeGain._dcg``:
+    rel/log(2+i)·log 2, i.e. grade/log2(rank+1), grades ≤ 0 skipped);
+    ``exp`` is the Burges (2^grade − 1) variant, identical on binary
+    qrels."""
+    if gain == "linear":
+        return grade
+    if gain == "exp":
+        return F.pow(F.lit(2.0), grade) - 1.0
+    raise ValueError(f"unknown gain {gain!r} (expected 'linear' or 'exp')")
+
+
+def ndcg_at(run: DataFrame, qrels: DataFrame, k: int = 10, gain: str = "linear") -> DataFrame:
+    """NDCG@k; the ideal ranking is the qrels grades sorted descending and
+    cut at the same k (reference eval.py: idcg over get_cut_rels(sorted
+    qrel values))."""
     from pyspark.sql import Window
 
     j = _joined(run, qrels).filter(F.col("rank") <= k)
     dcg = j.groupBy("query_id").agg(
-        F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(F.col("rank") + 1.0)).alias("dcg")
+        F.sum(
+            F.when(F.col("grade") > 0, _gain(F.col("grade"), gain) / F.log2(F.col("rank") + 1.0)).otherwise(F.lit(0.0))
+        ).alias("dcg")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
     ideal = (
@@ -75,7 +92,7 @@ def ndcg_at(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         .withColumn("irank", F.row_number().over(w))
         .filter(F.col("irank") <= k)
         .groupBy("query_id")
-        .agg(F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(F.col("irank") + 1.0)).alias("idcg"))
+        .agg(F.sum(_gain(F.col("grade"), gain) / F.log2(F.col("irank") + 1.0)).alias("idcg"))
     )
     return (
         dcg.join(ideal, "query_id", "left")
@@ -127,24 +144,53 @@ def r_precision(run: DataFrame, qrels: DataFrame) -> DataFrame:
     )
 
 
-def evaluate(run: DataFrame, qrels: DataFrame, cutoffs=EVAL_CUTOFFS) -> dict[str, float]:
+def evaluate(
+    run: DataFrame,
+    qrels: DataFrame,
+    cutoffs=EVAL_CUTOFFS,
+    zero_rel_queries: str = "skip",
+    gain: str = "linear",
+) -> dict[str, float]:
     """Mean metrics over queries (internal_eval shape). Driver-friendly:
-    returns plain floats."""
+    returns plain floats.
+
+    The evaluated query set is run ∩ qrels: run queries without any qrels
+    entry are ignored, as are qrels queries missing from the run (the
+    reference's internal_eval loops over the run and skips unjudged
+    queries — ``flexneuart/eval.py:375-377`` — which is also what
+    trec_eval does). ``zero_rel_queries`` controls queries whose qrels
+    contain only grade-0 judgments: ``"skip"`` drops them from the means
+    (trec_eval semantics), ``"count"`` scores them 0 and keeps them in
+    the denominator (the reference internal_eval's choice —
+    MeanAveragePrecision et al. return 0 when tot_rel_qty == 0). The two
+    agree whenever every judged query has ≥1 relevant doc."""
+    run_q = run.select("query_id").distinct()
+    if zero_rel_queries == "skip":
+        judged = qrels.filter(F.col("grade") > 0).select("query_id").distinct()
+    elif zero_rel_queries == "count":
+        judged = qrels.select("query_id").distinct()
+    else:
+        raise ValueError(f"unknown zero_rel_queries {zero_rel_queries!r} (expected 'skip' or 'count')")
+    qset = run_q.join(judged, "query_id", "semi")
+    n_q = qset.count()
     out: dict[str, float] = {}
-    mrr = reciprocal_rank(run, qrels).agg(F.avg("rr")).collect()[0][0]
-    out["mrr"] = float(mrr or 0.0)
-    ap = average_precision(run, qrels).agg(F.avg("ap")).collect()[0][0]
-    out["map"] = float(ap or 0.0)
-    rp = r_precision(run, qrels).agg(F.avg("r_prec")).collect()[0][0]
-    out["r_precision"] = float(rp or 0.0)
+    if n_q == 0:
+        return out
+
+    def _mean(per_q: DataFrame, col: str) -> float:
+        # missing queries (no per-query row) score 0 but stay in the
+        # denominator — sum over the qset-restricted frame / n_q
+        s = per_q.join(qset, "query_id").agg(F.sum(col)).collect()[0][0]
+        return float(s or 0.0) / n_q
+
+    out["mrr"] = _mean(reciprocal_rank(run, qrels), "rr")
+    out["map"] = _mean(average_precision(run, qrels), "ap")
+    out["r_precision"] = _mean(r_precision(run, qrels), "r_prec")
     for k in cutoffs:
         if k <= 20:
-            p = precision_at(run, qrels, k).agg(F.avg("p")).collect()[0][0]
-            out[f"p@{k}"] = float(p or 0.0)
-            nd = ndcg_at(run, qrels, k).agg(F.avg("ndcg")).collect()[0][0]
-            out[f"ndcg@{k}"] = float(nd or 0.0)
-            rc = recall_at(run, qrels, k).agg(F.avg("recall")).collect()[0][0]
-            out[f"recall@{k}"] = float(rc or 0.0)
+            out[f"p@{k}"] = _mean(precision_at(run, qrels, k), "p")
+            out[f"ndcg@{k}"] = _mean(ndcg_at(run, qrels, k, gain), "ndcg")
+            out[f"recall@{k}"] = _mean(recall_at(run, qrels, k), "recall")
     return out
 
 

@@ -17,35 +17,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from flexneuart_spark.config import DEFAULT_RUN_ID
 
-QRELS_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.StringType()),
-        T.StructField("_zero", T.StringType()),
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("grade", T.IntegerType()),
-    ]
-)
-
-RUN_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.StringType()),
-        T.StructField("_q0", T.StringType()),
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("rank", T.IntegerType()),
-        T.StructField("score", T.DoubleType()),
-        T.StructField("run_id", T.StringType()),
-    ]
-)
-
 
 def read_qrels(spark: SparkSession, path: str) -> DataFrame:
+    # TREC files in the wild are whitespace-delimited (tabs OR spaces —
+    # the reference's FileWrapper reader splits on any whitespace), so
+    # read as text and split, not as single-space csv
+    p = F.split(F.trim(F.col("value")), r"\s+")
     return (
-        spark.read.csv(path, sep=" ", schema=QRELS_SCHEMA)
-        .select("query_id", "doc_id", "grade")
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            p.getItem(0).alias("query_id"),
+            p.getItem(2).alias("doc_id"),
+            p.getItem(3).cast("int").alias("grade"),
+        )
     )
 
 
@@ -58,9 +46,17 @@ def write_qrels(qrels: DataFrame, path: str) -> None:
 
 
 def read_run(spark: SparkSession, path: str) -> DataFrame:
+    p = F.split(F.trim(F.col("value")), r"\s+")
     return (
-        spark.read.csv(path, sep=" ", schema=RUN_SCHEMA)
-        .select("query_id", "doc_id", "rank", "score", "run_id")
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            p.getItem(0).alias("query_id"),
+            p.getItem(2).alias("doc_id"),
+            p.getItem(3).cast("int").alias("rank"),
+            p.getItem(4).cast("double").alias("score"),
+            p.getItem(5).alias("run_id"),
+        )
     )
 
 

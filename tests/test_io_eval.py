@@ -76,18 +76,26 @@ def test_average_precision(spark, ranked, qrels):
 
 
 def test_ndcg(spark, ranked, qrels):
+    # default gain is linear (trec_eval ndcg_cut / reference internal):
+    # q1 DCG = 2/log2(2) = 2; IDCG = 2 + 1/log2(3)
     nd = {r.query_id: r.ndcg for r in fx_eval.ndcg_at(ranked, qrels, 3).collect()}
-    # q1: DCG = (2^2-1)/log2(2) = 3; IDCG = 3 + (2^1-1)/log2(3)
-    want = 3.0 / (3.0 + 1.0 / math.log2(3))
-    assert nd["q1"] == pytest.approx(want, rel=1e-9)
+    assert nd["q1"] == pytest.approx(2.0 / (2.0 + 1.0 / math.log2(3)), rel=1e-9)
+    # exp gain (Burges 2^g−1): DCG = (2^2-1)/log2(2) = 3; IDCG = 3 + 1/log2(3)
+    nd = {r.query_id: r.ndcg for r in fx_eval.ndcg_at(ranked, qrels, 3, gain="exp").collect()}
+    assert nd["q1"] == pytest.approx(3.0 / (3.0 + 1.0 / math.log2(3)), rel=1e-9)
 
 
 def test_evaluate_means(spark, ranked, qrels):
+    # default zero_rel_queries="skip" (trec_eval): q2 has only a grade-0
+    # judgment → dropped from every mean → means over {q1}
     m = fx_eval.evaluate(ranked, qrels, cutoffs=(5, 10))
-    assert m["mrr"] == pytest.approx(0.5)  # mean of (1, 0)
-    # trec_eval semantics: queries with zero relevant docs (q2) are
-    # excluded from the MAP mean → mean over {q1} = 0.5
+    assert m["mrr"] == pytest.approx(1.0)
     assert m["map"] == pytest.approx(0.5)
+    # "count" (reference internal_eval): q2 scores 0 but stays in the
+    # denominator → means over {q1, q2}
+    m = fx_eval.evaluate(ranked, qrels, cutoffs=(5, 10), zero_rel_queries="count")
+    assert m["mrr"] == pytest.approx(0.5)
+    assert m["map"] == pytest.approx(0.25)
 
 
 def test_recall_at_k(spark, ranked, qrels):
@@ -107,5 +115,8 @@ def test_r_precision(spark, ranked, qrels):
 
 def test_evaluate_includes_new_metrics(spark, ranked, qrels):
     m = fx_eval.evaluate(ranked, qrels, cutoffs=(5,))
+    assert m["r_precision"] == pytest.approx(0.5)  # mean over {q1} (q2 zero-rel → skipped)
+    assert m["recall@5"] == pytest.approx(0.5)
+    m = fx_eval.evaluate(ranked, qrels, cutoffs=(5,), zero_rel_queries="count")
     assert m["r_precision"] == pytest.approx(0.25)  # mean of (0.5, 0)
-    assert m["recall@5"] == pytest.approx(0.25)     # mean of (0.5, 0)
+    assert m["recall@5"] == pytest.approx(0.25)
