@@ -50,6 +50,27 @@ def load_ranklib_linear(path: str) -> tuple[dict[int, float], float]:
         return parse_ranklib_linear(f.read())
 
 
+def write_ranklib_linear(
+    weights: dict[int, float] | list[float],
+    path: str,
+    ranker_name: str = "Coordinate Ascent",
+    headers: dict[str, object] | None = None,
+) -> None:
+    """Save a linear model in RankLib's text format (``## <Ranker>``
+    headers then one ``fid:weight`` line — the format CoorAscent.java's
+    ``model()`` emits and :func:`parse_ranklib_linear` reads). Accepts a
+    {feature_id: weight} dict (1-based ids) or a plain weight list
+    (mapped to ids 1..m in order)."""
+    if isinstance(weights, list):
+        weights = {i + 1: w for i, w in enumerate(weights)}
+    lines = [f"## {ranker_name}"]
+    for key, val in (headers or {}).items():
+        lines.append(f"## {key} = {val}")
+    lines.append(" ".join(f"{fid}:{weights[fid]}" for fid in sorted(weights)))
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def weights_for_features(model_weights: dict[int, float], feature_names: list[str]) -> dict[str, float]:
     """Map RankLib's 1-based feature ids onto named feature columns in
     config order (the reference fixes the id↔extractor order in the

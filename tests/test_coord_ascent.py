@@ -1,0 +1,84 @@
+"""Coordinate Ascent fusion-weight training (reference: vendored RankLib
+CoorAscent.java). Gate from VERDICT r3 #3: trained weights must beat the
+untrained (uniform) baseline metric on a fixture collection, and the
+saved model must round-trip through io/ranklib.py."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from flexneuart_spark.io.ranklib import (
+    load_ranklib_linear,
+    weights_for_features,
+    write_ranklib_linear,
+)
+from flexneuart_spark.operators.coord_ascent import (
+    _candidate_metrics,
+    coord_ascent_train,
+)
+
+FEATURES = ["f_good", "f_noise", "f_anti"]
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    """20 queries × 30 docs; f_good correlates with grade, f_noise is
+    noise, f_anti anti-correlates — the optimum is far from uniform."""
+    rng = random.Random(7)
+    rows = []
+    for q in range(20):
+        for d in range(30):
+            grade = 1 if d < 3 else 0
+            rows.append(
+                (
+                    f"q{q}",
+                    f"d{d:02d}",
+                    grade,
+                    2.0 * grade + rng.uniform(0, 1.2),
+                    rng.uniform(0, 2),
+                    -1.5 * grade + rng.uniform(0, 1.2),
+                )
+            )
+    return spark.createDataFrame(rows, ["query_id", "doc_id", "grade"] + FEATURES)
+
+
+def test_trained_beats_uniform_baseline(spark, feats):
+    uniform = [1.0 / 3] * 3
+    base = _candidate_metrics(feats, FEATURES, [uniform], "map", 10)[0]
+    weights, best = coord_ascent_train(
+        feats, FEATURES, metric="map", n_restart=1, max_epochs=3, n_max_iteration=8, seed=3
+    )
+    assert best > base + 0.02, f"trained {best} vs uniform {base}"
+    # the trainer should discover the planted structure: good up, anti down
+    assert weights["f_good"] > weights["f_anti"]
+    # L1-normalized
+    assert sum(abs(w) for w in weights.values()) == pytest.approx(1.0)
+    # the returned score is reproducible from the returned weights
+    re_eval = _candidate_metrics(feats, FEATURES, [[weights[f] for f in FEATURES]], "map", 10)[0]
+    assert re_eval == pytest.approx(best, abs=1e-9)
+
+
+def test_batched_line_search_matches_single_evals(spark, feats):
+    """The one-job batched candidate evaluation must equal evaluating each
+    candidate vector separately."""
+    cands = [[0.5, 0.3, 0.2], [1.0, 0.0, 0.0], [0.2, 0.2, -0.6], [0.0, 1.0, 0.0]]
+    batched = _candidate_metrics(feats, FEATURES, cands, "map", 10)
+    singles = [_candidate_metrics(feats, FEATURES, [c], "map", 10)[0] for c in cands]
+    assert batched == pytest.approx(singles, abs=1e-12)
+    b10 = _candidate_metrics(feats, FEATURES, cands, "ndcg@10", 10)
+    s10 = [_candidate_metrics(feats, FEATURES, [c], "ndcg@10", 10)[0] for c in cands]
+    assert b10 == pytest.approx(s10, abs=1e-12)
+
+
+def test_model_roundtrip(spark, feats, tmp_path):
+    weights, _ = coord_ascent_train(
+        feats, FEATURES, metric="p@10", n_restart=1, max_epochs=2, n_max_iteration=6, seed=5
+    )
+    path = str(tmp_path / "ca_model.txt")
+    write_ranklib_linear([weights[f] for f in FEATURES], path, headers={"Restart": 1, "Metric": "P@10"})
+    loaded, intercept = load_ranklib_linear(path)
+    assert intercept == 0.0
+    named = weights_for_features(loaded, FEATURES)
+    assert named == pytest.approx(weights)
