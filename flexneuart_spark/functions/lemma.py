@@ -271,10 +271,16 @@ def sql_lemma_query(
     id_col: str = "doc_id",
 ) -> str:
     """Generate the DuckDB twin of :func:`lemma_pair_col` from the SAME
-    rule table / exception table / dictionary."""
-    dict_vals = ",\n ".join(f"('{w}')" for w in sorted(dictionary))
+    rule table / exception table / dictionary. Caller-supplied words are
+    escaped when emitted as SQL literals (a dictionary entry like
+    ``don't`` must not break the generated query)."""
+
+    def q(w: str) -> str:
+        return "'" + w.replace("'", "''") + "'"
+
+    dict_vals = ",\n ".join(f"({q(w)})" for w in sorted(dictionary))
     exc_vals = ",\n ".join(
-        f"('{k}', '{v}')" for k, v in sorted(EXCEPTIONS.items())
+        f"({q(k)}, {q(v)})" for k, v in sorted(EXCEPTIONS.items())
     )
     cand_cols = ",\n         ".join(
         f"{_sql_rule_candidate(r)} AS c{i}" for i, r in enumerate(RULES)
@@ -285,7 +291,7 @@ def sql_lemma_query(
     stops = stops or []
     stop_filter = ""
     if stops:
-        stops_sql = ", ".join(f"'{w}'" for w in stops)
+        stops_sql = ", ".join(q(w) for w in stops)
         stop_filter = f"WHERE tok NOT IN ({stops_sql}) AND lemma NOT IN ({stops_sql})"
     infl = "tok0"
     if inflect:

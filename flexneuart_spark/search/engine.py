@@ -59,6 +59,8 @@ def _resolve_kernel(pruned: bool, kernel: str | None):
     original meaning (True → maxscore, False → exhaustive)."""
     if kernel is None:
         return maxscore_topk if pruned else exhaustive_topk
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; expected one of {sorted(_KERNELS)}")
     return _KERNELS[kernel]
 
 _SCORED_SCHEMA = "seg int, shard int, query_id string, ord long, score double"

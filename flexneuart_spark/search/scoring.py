@@ -183,7 +183,6 @@ class _BMWCursor:
             return
         if j != self.bi:
             self._load(j)
-            self.pos = 0
         # block_max_doc[j] ≥ target ⇒ the block holds a doc ≥ target
         self.pos = int(np.searchsorted(self.d, target))
         self.cur = int(self.d[self.pos])
