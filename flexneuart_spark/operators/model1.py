@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 PROB_SELF_TRAN = 0.5
 MODEL1_LAMBDA = 0.05
@@ -155,6 +154,21 @@ def model1_scores(
 NULL_TOKEN = "@NULL@"  # GIZA's empty word (vocab id 0); '@' never tokenizes
 
 
+def _normalize_per_source(df: DataFrame, value_col: str) -> DataFrame:
+    """(s_term, t_term, value) → (s_term, t_term, p) with Σ_t p = 1 per s.
+
+    Deliberately groupBy + equi-join, NOT ``sum over
+    Window.partitionBy(s_term)``: the window funnels a hot source term's
+    whole translation distribution into a single task, while the groupBy
+    partial-aggregates map-side (one shuffled row per (s_term, map
+    partition)) and the join back is skew-splittable by AQE.
+    """
+    totals = df.groupBy("s_term").agg(F.sum(value_col).alias("_tot"))
+    return df.join(totals, "s_term").select(
+        "s_term", "t_term", (F.col(value_col) / F.col("_tot")).alias("p")
+    )
+
+
 def model1_em_train(
     pairs: DataFrame,
     iterations: int = 5,
@@ -188,9 +202,15 @@ def model1_em_train(
     computed ONCE, persisted, and every EM round reuses it. Each round is
     two joins + three aggregations, all keyed by (s,t) or (pair,t) — no
     per-word hot key, since the finest-grained groupBy always includes t
-    or pair, and partial aggregation combines map-side. The model is
-    ``localCheckpoint``-ed per round to truncate lineage. Cost is
-    O(iterations·|cooc|) with no driver-side data movement.
+    or pair, and partial aggregation combines map-side. The M-step
+    normalization is a groupBy("s_term") + join rather than a window over
+    ``partitionBy("s_term")``: a window would materialize a hot source
+    term's ENTIRE translation distribution in one partition, while the
+    groupBy partial-aggregates map-side (the shuffle carries one row per
+    (s_term, partition)) and the join back is an equi-join AQE can split
+    on skew. The model is ``localCheckpoint``-ed per round to truncate
+    lineage. Cost is O(iterations·|cooc|) with no driver-side data
+    movement.
     """
     src = (
         pairs.select("pair_id", F.explode("src_tokens").alias("s_term"))
@@ -216,9 +236,8 @@ def model1_em_train(
     cooc = cooc.persist()
     try:
         sup = cooc.select("s_term", "t_term").distinct()
-        w = Window.partitionBy("s_term")
-        model = sup.select(
-            "s_term", "t_term", (F.lit(1.0) / F.count("*").over(w)).alias("p")
+        model = _normalize_per_source(
+            sup.withColumn("_one", F.lit(1.0)), "_one"
         ).localCheckpoint()
         for _ in range(iterations):
             scored = cooc.join(model, ["s_term", "t_term"]).select(
@@ -234,9 +253,7 @@ def model1_em_train(
                 .groupBy("s_term", "t_term")
                 .agg(F.sum(F.col("cnt_t") * F.col("score") / F.col("z")).alias("c"))
             )
-            model = counts.select(
-                "s_term", "t_term", (F.col("c") / F.sum("c").over(w)).alias("p")
-            ).localCheckpoint()
+            model = _normalize_per_source(counts, "c").localCheckpoint()
         return model
     finally:
         cooc.unpersist()

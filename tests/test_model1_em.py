@@ -132,3 +132,26 @@ def test_trained_table_feeds_scorer(spark):
         for r in model1_scores(docs, qs, tran, min_prob=1e-6).collect()
     }
     assert got["d1"] > got.get("d2", float("-inf"))
+
+
+def test_em_plan_has_no_window(spark):
+    """De-skew guarantee: the M-step normalizes via groupBy+join, never a
+    window over partitionBy(s_term) (which would funnel a hot source
+    term's whole translation distribution into one task). Checked on the
+    un-checkpointed normalization plan — ``localCheckpoint`` in the
+    trainer would otherwise truncate the lineage and hide a window."""
+    from pyspark.sql import functions as F
+
+    from flexneuart_spark.operators.model1 import _normalize_per_source
+
+    counts = spark.createDataFrame(
+        [("s1", "t1", 2.0), ("s1", "t2", 1.0), ("s2", "t1", 3.0)],
+        "s_term string, t_term string, c double",
+    )
+    norm = _normalize_per_source(counts, "c")
+    plan = norm._jdf.queryExecution().toString()
+    assert "Window" not in plan, plan
+    got = {(r.s_term, r.t_term): r.p for r in norm.collect()}
+    assert got[("s1", "t1")] == pytest.approx(2 / 3)
+    assert got[("s1", "t2")] == pytest.approx(1 / 3)
+    assert got[("s2", "t1")] == pytest.approx(1.0)
