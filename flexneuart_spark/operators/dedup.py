@@ -316,6 +316,34 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", Algorithm 3): for each node u, connect every
+    strictly-larger neighbor to min(Γ(u) ∪ {u}). Output edges are
+    oriented (big, small)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round (ibid., Algorithm 4): orient each edge (big,
+    small); for each node u, connect u and all its smaller neighbors to
+    the smallest of them. Output edges stay oriented (big, small)."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    out = d.join(mins, "u").select(F.col("v").alias("u"), F.col("mn").alias("v")).union(
+        mins.select("u", F.col("mn").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -327,42 +355,43 @@ def connected_components(
     canonical-representative rule every dedup pipeline needs downstream
     of the pair detectors.
 
-    Iterative min-label propagation: each round joins labels across the
-    (symmetrized) edge list and keeps the per-node minimum; rounds needed
-    = graph diameter, which for near-dup clusters is tiny (pairs are
-    near-cliques). Each round is one shuffle on ``id``; labels are
-    ``localCheckpoint``-ed to truncate lineage (the standard guard for
-    iterative DataFrame algorithms). Converges early via a per-round
-    changed-count check; raises if ``max_iter`` rounds don't converge
-    (pathological chain — at 100 TB raise max_iter, the per-round cost is
-    flat)."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
-    # materialize ONCE: the pair list usually hangs off an expensive
-    # detector DAG (shingle joins, LSH), which must not re-run per round
-    edges = edges.localCheckpoint()
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint()
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "ncomp"), "dst")
-            .groupBy("src")
-            .agg(F.min("ncomp").alias("nmin"))
-            .withColumnRenamed("src", "id")
+    Large-star/small-star alternation (Kiveris et al. 2014): each round
+    rewires edges toward per-neighborhood minima, converging to a union
+    of stars centered on each component's smallest id in O(log n) rounds
+    — independent of graph DIAMETER, unlike min-label propagation, so a
+    100 TB crawl with chained near-dups (A~B~C~…, diameter ≫ 25) still
+    converges. Each half-round is one groupBy shuffle + one equi-join,
+    both skew-splittable by AQE; the edge set is ``localCheckpoint``-ed
+    per round to truncate lineage (the pair list usually hangs off an
+    expensive detector DAG — shingle joins, LSH — which must not re-run
+    per round). Converged when the oriented edge set reaches its fixed
+    point (exact set compare); raises if ``max_iter`` rounds don't
+    converge."""
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
-        # ONE materialization per round: checkpoint the (new, old) pair,
-        # then both the convergence count and next round's labels are
-        # cheap reads of the checkpointed data
-        new = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least("comp", F.coalesce("nmin", "comp")).alias("new_comp"),
-            F.col("comp").alias("old_comp"),
-        ).localCheckpoint()
-        changed = new.filter(F.col("new_comp") != F.col("old_comp")).count()
-        labels = new.select("id", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            return labels.select(F.col("id"), F.col("comp").alias("component"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id"))).distinct()
+    )
+    for _ in range(max_iter):
+        new = _small_star(_large_star(e)).localCheckpoint()
+        # fixed point ⇔ new == e: both sides distinct + (big, small)
+        # oriented, so equal counts plus new ⊆ e ⇒ set equality
+        same = new.count() == e.count() and new.join(e, ["u", "v"], "left_anti").isEmpty()
+        e = new
+        if same:
+            # stars: every non-root points straight at its component min;
+            # roots (never in the u column) map to themselves
+            roots = nodes.join(e, nodes["id"] == e["u"], "left_anti")
+            return e.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
+                roots.select("id", F.col("id").alias("component"))
+            )
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -239,6 +239,18 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """Large-star/small-star converges in O(log n) rounds, independent of
+    diameter: a planted 1,000-link chain (diameter 1000) must resolve in
+    <15 rounds — min-label propagation would need ~1000."""
+    pairs = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(1000)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs, max_iter=14).collect()}
+    assert len(got) == 1001
+    assert set(got.values()) == {"n0000"}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
