@@ -124,13 +124,25 @@ _DICT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "lemma_bas
 
 def load_lemma_dict(path: str = _DICT_PATH) -> frozenset[str]:
     """Base-form dictionary fixture: one lowercase lemma per line,
-    '#' comments and blank lines ignored."""
+    '#' comments and blank lines ignored. Falls back to package
+    resources when the module is imported from a ``--py-files`` zip
+    (spark-submit executors), where the file path is not openable."""
+    if path == _DICT_PATH and not os.path.isfile(path):
+        from importlib import resources
+
+        text = (
+            resources.files("flexneuart_spark.functions")
+            .joinpath("lemma_base.txt")
+            .read_text(encoding="utf-8")
+        )
+    else:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
     words = set()
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            w = line.strip()
-            if w and not w.startswith("#"):
-                words.add(w)
+    for line in text.splitlines():
+        w = line.strip()
+        if w and not w.startswith("#"):
+            words.add(w)
     return frozenset(words)
 
 

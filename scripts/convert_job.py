@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: named-dataset conversion → parquet entries
+(the Spark-native replacement for the reference's per-collection
+``scripts/data_convert/*`` multiprocessing scripts).
+
+    spark-submit --py-files dist/flexneuart_spark.zip \\
+        scripts/convert_job.py --format msmarco_docs \\
+        --input <raw tsv/.gz> --output <parquet-dir> \\
+        [--stopwords stop.txt] [--bert-vocab vocab.txt] \\
+        [--min-query-tokens 1] [--max-doc-size 32768]
+
+Formats: msmarco_docs (4-field TSV), msmarco_queries (2-field TSV),
+tsv_queries_krovetz (2-field TSV, Krovetz stem), cranfield
+(``.I``-record file). Raw inputs may be .gz/.bz2 — Spark's text reader
+decompresses natively.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+FORMATS = ["msmarco_docs", "msmarco_queries", "tsv_queries_krovetz", "cranfield"]
+
+
+def _read_words(path: str | None) -> list[str]:
+    if not path:
+        return []
+    with open(path, encoding="utf-8") as f:
+        return [w.strip().lower() for w in f if w.strip() and not w.startswith("#")]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--format", choices=FORMATS, required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--stopwords", default=None, help="one lowercase stop word per line")
+    ap.add_argument("--bert-vocab", default=None, help="WordPiece vocab file; adds text_bert_tok")
+    ap.add_argument("--min-query-tokens", type=int, default=0)
+    ap.add_argument("--max-doc-size", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from flexneuart_spark import converters as C
+    from flexneuart_spark.config import MAX_DOC_SIZE
+
+    spark = SparkSession.builder.appName(f"flexneuart_convert_{args.format}").getOrCreate()
+    stops = _read_words(args.stopwords)
+    bert_vocab = None
+    if args.bert_vocab:
+        from flexneuart_spark.functions.wordpiece import load_vocab
+
+        bert_vocab = load_vocab(args.bert_vocab)
+
+    if args.format == "cranfield":
+        out = C.cranfield_docs(
+            C.read_cranfield(spark, args.input), stop_words=stops, bert_vocab=bert_vocab
+        )
+    else:
+        lines = spark.read.text(args.input)
+        if args.format == "msmarco_docs":
+            out = C.msmarco_docs(
+                lines,
+                stop_words=stops,
+                max_doc_size=args.max_doc_size or MAX_DOC_SIZE,
+                bert_vocab=bert_vocab,
+            )
+        elif args.format == "msmarco_queries":
+            out = C.msmarco_queries(
+                lines,
+                stop_words=stops,
+                min_query_tok_qty=args.min_query_tokens,
+                bert_vocab=bert_vocab,
+            )
+        else:
+            out = C.tsv_queries_krovetz(lines, stop_words=stops, bert_vocab=bert_vocab)
+
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"converted {n} {args.format} entries to {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,7 +18,8 @@ def main() -> None:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .txt = package data (lemma dictionary, WordPiece vocab)
+                if fn.endswith((".py", ".txt")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, ROOT))
     print(out)

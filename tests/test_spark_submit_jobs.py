@@ -102,3 +102,40 @@ def test_spark_submit_build_then_query(tmp_path):
     assert 1 <= len(q1) <= 5
     assert [int(p[3]) for p in q1] == list(range(1, len(q1) + 1))
     assert not [p for p in lines if p[0] == "q_oov"]  # OOV ⇒ no rows
+
+
+def test_spark_submit_convert_job(tmp_path):
+    """scripts/convert_job.py end-to-end from the shipped zip: TSV lines
+    → msmarco_queries entries in parquet."""
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    raw = tmp_path / "queries.tsv"
+    raw.write_text("q1\tthe running cats were faster\nq2\tshear flows\nbad-line\n")
+    stop = tmp_path / "stop.txt"
+    stop.write_text("the\n")
+    out_dir = str(tmp_path / "out")
+    stdout = _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "convert_job.py"),
+            "--format", "msmarco_queries",
+            "--input", str(raw),
+            "--output", out_dir,
+            "--stopwords", str(stop),
+            "--min-query-tokens", "1",
+        ],
+        cwd=ROOT,
+    )
+    assert "converted 2 msmarco_queries entries" in stdout
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out_dir).to_pandas().set_index("DOCNO")
+    assert set(t.index) == {"q1", "q2"}
+    assert t.loc["q1", "text_raw"] == "the running cats were faster"
+    assert "run" in t.loc["q1", "text"].split()  # lemmatized, 'the' stopped
+    assert "the" not in t.loc["q1", "text"].split()
