@@ -164,10 +164,12 @@ def _dir_mb(path: str) -> float:
     return total / 1e6
 
 
-def measure_query_p50(spark, corpus_path: str) -> tuple[float, float, dict]:
+def measure_query_p50(spark, corpus_path: str) -> tuple[float, float, dict, dict]:
     """Per-query latency over the bench index (one search() per query —
     the reference's per-query ms accounting, BaseQueryApp.java:705-724),
-    plus the built index's storage footprint."""
+    the built index's storage footprint, and the kernel/merge serving
+    comparison (maxscore vs bmw x distributed vs driver merge — all
+    result-identical; the published default is the measured winner)."""
     from flexneuart_spark.fixtures import make_queries
     from flexneuart_spark.index.builder import build_index
     from flexneuart_spark.search.engine import Searcher
@@ -194,18 +196,38 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, float, dict]:
         # first queries pay one-time codegen/broadcast costs)
         for qid, text in queries[:5]:
             s.search([(qid, text)], k=10).count()
-        lat = []
+        # kernel/merge comparison (round-3 verdict #4/#5): measure every
+        # result-identical serving config INTERLEAVED (config inner loop,
+        # query outer) so VM drift hits all configs equally
+        configs = [
+            ("maxscore", False),
+            ("bmw", False),
+            ("maxscore", True),
+            ("bmw", True),
+        ]
+        lat = {c: [] for c in configs}
         for qid, text in queries:
-            gc.collect()  # release py4j refs so broadcasts don't pile up
-            t0 = time.time()
-            s.search([(qid, text)], k=10).count()
-            lat.append(time.time() - t0)
+            for kern, dm in configs:
+                gc.collect()  # release py4j refs so broadcasts don't pile up
+                t0 = time.time()
+                s.search([(qid, text)], k=10, kernel=kern, driver_merge=dm).count()
+                lat[(kern, dm)].append(time.time() - t0)
+        compare = {
+            f"p50_{k}{'_driver_merge' if dm else ''}": round(statistics.median(v), 4)
+            for (k, dm), v in lat.items()
+        }
         # batch mode: the whole query set in ONE pass over the index (the
         # reference's batch QueryApp shape) — the honest throughput number
-        t0 = time.time()
-        s.search(queries, k=10).count()
-        batch_per_query = (time.time() - t0) / len(queries)
-        return statistics.median(lat), batch_per_query, sizes
+        for kern in ("maxscore", "bmw"):
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                s.search(queries, k=10, kernel=kern).count()
+                reps.append((time.time() - t0) / len(queries))
+            compare[f"batch_per_query_{kern}"] = round(statistics.median(reps), 4)
+        p50 = compare["p50_maxscore"]  # the DEFAULT serving config
+        batch_per_query = compare["batch_per_query_maxscore"]
+        return p50, batch_per_query, sizes, compare
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -241,7 +263,7 @@ def main() -> None:
     # suite = sum of per-query MEDIANS (the noise-cancelled figure);
     # comparable round-over-round, unlike the old single-shot wall time
     suite_sec = round(sum(qtimes.values()), 3)
-    p50, batch_pq, index_sizes = measure_query_p50(spark, corpus_path)
+    p50, batch_pq, index_sizes, kernel_compare = measure_query_p50(spark, corpus_path)
     spark.stop()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -272,6 +294,7 @@ def main() -> None:
         "query_p50_sec": round(p50, 4),
         "index_sizes_mb": index_sizes,
         "query_batch_sec_per_query": round(batch_pq, 4),
+        "kernel_compare": kernel_compare,
     }
 
     os.makedirs("BENCH", exist_ok=True)
@@ -285,10 +308,26 @@ def main() -> None:
             f"| Indexing throughput | {thr[LOW_PAR]:.0f} docs/s ({thr[LOW_PAR]*scaling_kb/1000:.0f} MB/s) | local[{LOW_PAR}] (N proxy; {SCALING_DOCS}-doc / {scaling_mb:.0f} MB corpus) |\n"
             f"| Indexing throughput | {thr[HIGH_PAR]:.0f} docs/s ({thr[HIGH_PAR]*scaling_kb/1000:.0f} MB/s) | local[{HIGH_PAR}] (4N proxy) |\n"
             f"| Scaling efficiency N→4N | {eff:.3f} | target ≥ 0.8; median of {REPS} PAIRED (N, 4N) ratios {pair_ratios} — pairing cancels the VM's slow-window drift; all reps (docs/s): {all_reps} |\n"
-            f"| Query p50 latency (top-10) | {p50:.3f} s | local[{CPUS}], one search() per query |\n"
+            f"| Query p50 latency (top-10) | {p50:.3f} s | local[{CPUS}], one search() per query (default config: maxscore kernel, distributed merge) |\n"
             f"| Query batch throughput | {batch_pq:.3f} s/query | whole query set in one pass (reference batch-app shape) |\n"
             f"| Headline suite total | {suite_sec:.1f} s | sum of per-query medians over {HEADLINE_REPS} interleaved suite passes; {len(qtimes)} queries at sf={results['sf']} |\n"
             f"| Index footprint | postings {index_sizes['postings_mb']} MB, fwd {index_sizes['fwd_mb']} MB, dict {index_sizes['dictionary_mb']} MB | {SCALE_DOCS}-doc / {corpus_mb:.0f} MB corpus (compressed postings = {index_sizes['postings_mb']/corpus_mb*100:.0f}% of raw text) |\n"
+        )
+        f.write(
+            "\nKernel / merge-path comparison (all configs result-identical,"
+            " interleaved measurement, median over the same query set):\n\n"
+            "| config | value |\n|---|---|\n"
+            + "".join(f"| {k} | {v} s |\n" for k, v in kernel_compare.items())
+            + "\nWhy MaxScore stays the default: Block-Max WAND decodes strictly\n"
+            "fewer postings blocks, but in this engine the decode is a vectorized\n"
+            "Arrow/numpy batch while BMW's per-(term, block) cursor advance is\n"
+            "Python-side bookkeeping — the skipped decodes cost less than the\n"
+            "bookkeeping that skips them, on both p50 and batch. driver_merge=True\n"
+            "(single-job, driver-side label+merge) also measured slower than the\n"
+            "distributed join+window merge at local[32]; both stay available as\n"
+            "opt-ins (`search(kernel=, driver_merge=)`) since the trade can flip\n"
+            "on clusters where scheduling dominates (very small k, many tiny\n"
+            "shards, high scheduler latency).\n"
         )
         f.write(
             f"\nPer-query seconds (median of {HEADLINE_REPS} interleaved suite"
@@ -332,9 +371,11 @@ def main() -> None:
             "  plan-asserted free of CartesianProduct, and every band bucket is\n"
             "  capped (max_bucket_size=2000 default + oversized_buckets audit),\n"
             "  so one boilerplate-dominated bucket cannot OOM a task.\n"
-            "- dedup_components: rounds = pair-graph diameter (near-cliques for\n"
-            "  dedup), each round one shuffle on id; edges localCheckpoint-ed so\n"
-            "  the detector DAG runs once.\n"
+            "- dedup_components: large-star/small-star alternation — O(log n)\n"
+            "  rounds independent of pair-graph DIAMETER (a 1000-link chain\n"
+            "  converges in <15 rounds, tested); each half-round one groupBy\n"
+            "  shuffle + equi-join, edge set localCheckpoint-ed per round so the\n"
+            "  detector DAG runs once.\n"
             "- krovetz_stem: stateless Arrow-batched map, embarrassingly parallel.\n"
             "- emb_cosine_topk: broadcast query side, linear scan — the exact\n"
             "  baseline; the ANN entries (LSH/RP/IVF) are the scale path.\n"

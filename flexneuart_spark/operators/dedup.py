@@ -379,12 +379,14 @@ def connected_components(
     nodes = (
         e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id"))).distinct()
     )
+    e_cnt = e.count()
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint()
         # fixed point ⇔ new == e: both sides distinct + (big, small)
         # oriented, so equal counts plus new ⊆ e ⇒ set equality
-        same = new.count() == e.count() and new.join(e, ["u", "v"], "left_anti").isEmpty()
-        e = new
+        new_cnt = new.count()
+        same = new_cnt == e_cnt and new.join(e, ["u", "v"], "left_anti").isEmpty()
+        e, e_cnt = new, new_cnt
         if same:
             # stars: every non-root points straight at its component min;
             # roots (never in the u column) map to themselves
