@@ -313,3 +313,157 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_vec_id", F.col(id_col).alias("vec_id"), "cos_r", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) — the embedding COMPRESSION scale path
+# ---------------------------------------------------------------------------
+
+def _sub_slices(vcol: str, m: int, dsub: int):
+    return [F.slice(F.col(vcol), s * dsub + 1, dsub) for s in range(m)]
+
+
+def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
+    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    return d // m
+
+
+def _pq_d2(sv: str, cw: str):
+    """Rounded squared L2 between subvector and codeword. The expanded
+    x·x − 2·x·c + c·c form is used IDENTICALLY in the SQL twin, and the
+    6dp rounding turns float-order near-ties into exact ties broken by
+    code asc — the ivf_train determinism discipline."""
+    return F.round(
+        _dot(sv, sv) - F.lit(2.0) * _dot(sv, cw) + _dot(cw, cw), 6
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks (Jégou et al. 2011): split each vector into
+    ``m`` subvectors; per subspace, k-means with ``n_codes`` codewords.
+    Init = the md5-hash-picked vectors' subvectors (the
+    :func:`ivf_centroids` seed trick, same rows for every subspace), then
+    ``n_iter`` Lloyd rounds (assign by rounded squared-L2, recompute
+    per-(sub, code, pos) means rounded to 6dp → exact SQL twin, like
+    :func:`ivf_train`). Returns (sub, code, cw).
+
+    Scale posture: the codebook is m·n_codes·(d/m) floats — driver/
+    broadcast-sized regardless of corpus size; each Lloyd round is one
+    broadcast join + one groupBy shuffle of (sub, code, pos) rows."""
+    dsub = _pq_dims(emb, m, vec_col)
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    # md5-pick seeds (the ivf_centroids trick: bounded top-n, exact SQL
+    # twin); code labels are the seed vectors' own ids — arbitrary but
+    # stable labels, densifiable with the dictionary range-partition
+    # trick if a uint8 storage layout is wanted
+    seeds = (
+        e.withColumn("hk", F.md5(F.col(id_col).cast("string")))
+        .orderBy("hk", id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("code"), "v")
+    )
+    cb = seeds.select(
+        "code", F.posexplode(F.array(*_sub_slices("v", m, dsub))).alias("sub", "cw")
+    ).select("sub", "code", "cw")
+    subs = e.select(
+        F.col(id_col), F.posexplode(F.array(*_sub_slices("v", m, dsub))).alias("sub", "sv")
+    )
+    for _ in range(n_iter):
+        scored = subs.join(F.broadcast(cb), "sub").withColumn("d2", _pq_d2("sv", "cw"))
+        w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("code"))
+        assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        cb = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mval"))), lambda s: s["mval"]
+                ).alias("cw")
+            )
+        )
+    return cb
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` uint8-sized code ids — 8·m bits per
+    vector vs 32·d for raw floats (64-dim float32 → 4 bytes: 64×
+    compression at m=4). Returns (vec_id, sub, code): nearest codeword
+    per subspace by rounded squared-L2, ties → code asc."""
+    dsub = _pq_dims(emb, m, vec_col)
+    subs = emb.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_sub_slices(vec_col, m, dsub))).alias("sub", "raw_sv"),
+    ).withColumn("sv", F.transform("raw_sv", lambda x: x.cast("double")))
+    scored = subs.join(F.broadcast(codebooks), "sub").withColumn("d2", _pq_d2("sv", "cw"))
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC): database vectors are
+    scored through their reconstructions (concatenated codewords), the
+    query stays raw — approx_cos(q, x) = q·recon(x) / (|q|·|recon(x)|),
+    accumulated per subspace from a per-query lookup table (the classic
+    ADC LUT: m·n_codes partial dot products per query, broadcast-sized).
+    Returns (query_vec_id, vec_id, cos_r, rank) — the family shape."""
+    cb = codebooks if codebooks is not None else pq_train(emb, m, n_codes, n_iter, id_col, vec_col)
+    dsub = _pq_dims(emb, m, vec_col)
+    codes = pq_encode(emb, cb, m, id_col, vec_col)
+    qe = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_vec_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv"))
+    qsubs = qe.select(
+        "query_vec_id", "qn", F.posexplode(F.array(*_sub_slices("qv", m, dsub))).alias("sub", "qsv")
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_vec_id",
+        "qn",
+        "sub",
+        "code",
+        _dot("qsv", "cw").alias("part"),
+        _dot("cw", "cw").alias("cwn2"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_vec_id", "qn", F.col(id_col).alias("vec_id"))
+        .agg(F.sum("part").alias("num"), F.sum("cwn2").alias("rn2"))
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn("cos_r", F.round(F.col("num") / (F.col("qn") * F.sqrt("rn2")), 6))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "cos_r", "rank")
+    )

@@ -778,6 +778,92 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN (Jégou et al. 2011) — the embedding
+    COMPRESSION scale path: m=4 subspaces × 16 codewords (64-dim → 4
+    code labels per vector), one Lloyd round per subspace from md5-picked
+    seeds, asymmetric-distance (ADC) scoring through a per-query LUT.
+    Training is deterministic (6dp-rounded means + rounded-d2 assignment,
+    ties → code asc), so the ENTIRE pipeline — train, encode, score —
+    has an exact SQL twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_topk(emb, EMB_QUERY_IDS, k=5, m=4, n_codes=16, n_iter=1)
+
+
+def _pq_subs_sql(m: int = 4, dsub: int = 16) -> str:
+    parts = [
+        f"SELECT vec_id, {s} AS sub, v[{s * dsub + 1}:{(s + 1) * dsub}] AS sv FROM emb"
+        for s in range(m)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_PQ_D2 = (
+    "round(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cw)"
+    " + list_dot_product(c.cw, c.cw), 6)"
+)
+
+SQL_EMB_PQ_ANN = f"""
+WITH {SQL_EMB},
+subs AS ({_pq_subs_sql()}),
+seeds AS (
+  SELECT vec_id AS code, v FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cb0 AS (
+  SELECT s.sub, d.code, s.sv AS cw
+  FROM subs s JOIN seeds d ON s.vec_id = d.code
+),
+a0 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
+    FROM subs s JOIN cb0 c USING (sub)
+  ) WHERE r = 1
+),
+expl AS (
+  SELECT a.sub, a.code, unnest(s.sv) AS val, unnest(range(1, len(s.sv) + 1)) AS pos
+  FROM a0 a JOIN subs s ON a.vec_id = s.vec_id AND a.sub = s.sub
+),
+m1 AS (SELECT sub, code, pos, round(avg(val), 6) AS mval FROM expl GROUP BY 1, 2, 3),
+cb1 AS (SELECT sub, code, array_agg(mval ORDER BY pos) AS cw FROM m1 GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
+    FROM subs s JOIN cb1 c USING (sub)
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_vec_id, nrm AS qn FROM emb WHERE vec_id IN (0, 1, 2, 3, 4)),
+qsubs AS (
+  SELECT vec_id AS query_vec_id, sub, sv AS qsv FROM subs WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+lut AS (
+  SELECT qs.query_vec_id, qs.sub, c.code,
+         list_dot_product(qs.qsv, c.cw) AS part,
+         list_dot_product(c.cw, c.cw) AS cwn2
+  FROM qsubs qs JOIN cb1 c USING (sub)
+),
+scored AS (
+  SELECT l.query_vec_id, cd.vec_id,
+         round(sum(l.part) / (q.qn * sqrt(sum(l.cwn2))), 6) AS cos_r
+  FROM codes cd
+  JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+  JOIN q ON q.query_vec_id = l.query_vec_id
+  WHERE cd.vec_id <> l.query_vec_id
+  GROUP BY l.query_vec_id, cd.vec_id, q.qn
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 OPS_QUERIES_REG = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -794,6 +880,7 @@ OPS_QUERIES_REG = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ivf_trained": q_emb_ivf_trained,
     "emb_rp_ann": q_emb_rp_ann,
+    "emb_pq_ann": q_emb_pq_ann,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -819,6 +906,7 @@ OPS_ORACLE_SQL = {
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_ivf_trained": SQL_EMB_IVF_TRAINED,
     "emb_rp_ann": SQL_EMB_RP_ANN,
+    "emb_pq_ann": SQL_EMB_PQ_ANN,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,

@@ -405,3 +405,42 @@ def test_jaccard_score_unbiased_by_shingle_cap(spark):
     assert (100, 101) in got
     for pair, j in got.items():
         assert abs(j - want[pair]) < 1e-6, (pair, j, want[pair])
+
+
+def test_pq_encode_codes_shape(spark, emb):
+    cb = similarity.pq_train(emb, m=4, n_codes=16, n_iter=1)
+    valid = {(r.sub, r.code) for r in cb.collect()}
+    assert len(valid) <= 4 * 16
+    codes = similarity.pq_encode(emb, cb, m=4).collect()
+    n = emb.count()
+    assert len(codes) == 4 * n  # m code labels per vector
+    assert all((r.sub, r.code) in valid for r in codes)
+
+
+def test_pq_dim_divisibility_check(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=5)
+
+
+def test_pq_planted_near_dup_recall(spark):
+    # PQ's contract: STRONG neighbours survive quantization — a planted
+    # twin (cos ≈ 0.995) lands in the same/nearby codewords, so ADC puts
+    # it in the top-5 for nearly all queries
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        base = rng.standard_normal(32)
+        rows.append((i * 2, [float(x) for x in base]))
+        noisy = base + 0.05 * rng.standard_normal(32)
+        rows.append((i * 2 + 1, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+    brute1 = {(r.query_vec_id, r.vec_id) for r in
+              similarity.cosine_topk(df, qids, k=1).collect()}
+    assert brute1 == {(q, q + 1) for q in qids}
+    approx = {(r.query_vec_id, r.vec_id) for r in
+              similarity.pq_topk(df, qids, k=5, m=8, n_codes=16, n_iter=2).collect()}
+    hit = sum(1 for q in qids if (q, q + 1) in approx)
+    assert hit >= 8, f"planted-twin recall {hit}/10"
