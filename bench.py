@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_components",
     "emb_cosine_topk",
+    "emb_pq_ann",
     "krovetz_stem",
     "text_quality",
     "events_minutely",

@@ -171,27 +171,36 @@ def evaluate(
         judged = qrels.select("query_id").distinct()
     else:
         raise ValueError(f"unknown zero_rel_queries {zero_rel_queries!r} (expected 'skip' or 'count')")
-    qset = run_q.join(judged, "query_id", "semi")
-    n_q = qset.count()
-    out: dict[str, float] = {}
-    if n_q == 0:
+    # the evaluated query set is small (one row per query) and reused by
+    # every metric mean below — persist once instead of re-deriving the
+    # run∩qrels semi-join plan 8-10 times per evaluate() call
+    qset = run_q.join(judged, "query_id", "semi").persist()
+    try:
+        n_q = qset.count()
+
+        def _mean(per_q: DataFrame, col: str) -> float:
+            if n_q == 0:
+                # keep the full metric dict (stable API shape) with 0.0
+                # values — an empty dict would turn a run/qrels id
+                # mismatch into downstream KeyErrors
+                return 0.0
+            # missing queries (no per-query row) score 0 but stay in the
+            # denominator — sum over the qset-restricted frame / n_q
+            s = per_q.join(qset, "query_id").agg(F.sum(col)).collect()[0][0]
+            return float(s or 0.0) / n_q
+
+        out: dict[str, float] = {}
+        out["mrr"] = _mean(reciprocal_rank(run, qrels), "rr")
+        out["map"] = _mean(average_precision(run, qrels), "ap")
+        out["r_precision"] = _mean(r_precision(run, qrels), "r_prec")
+        for k in cutoffs:
+            if k <= 20:
+                out[f"p@{k}"] = _mean(precision_at(run, qrels, k), "p")
+                out[f"ndcg@{k}"] = _mean(ndcg_at(run, qrels, k, gain), "ndcg")
+                out[f"recall@{k}"] = _mean(recall_at(run, qrels, k), "recall")
         return out
-
-    def _mean(per_q: DataFrame, col: str) -> float:
-        # missing queries (no per-query row) score 0 but stay in the
-        # denominator — sum over the qset-restricted frame / n_q
-        s = per_q.join(qset, "query_id").agg(F.sum(col)).collect()[0][0]
-        return float(s or 0.0) / n_q
-
-    out["mrr"] = _mean(reciprocal_rank(run, qrels), "rr")
-    out["map"] = _mean(average_precision(run, qrels), "ap")
-    out["r_precision"] = _mean(r_precision(run, qrels), "r_prec")
-    for k in cutoffs:
-        if k <= 20:
-            out[f"p@{k}"] = _mean(precision_at(run, qrels, k), "p")
-            out[f"ndcg@{k}"] = _mean(ndcg_at(run, qrels, k, gain), "ndcg")
-            out[f"recall@{k}"] = _mean(recall_at(run, qrels, k), "recall")
-    return out
+    finally:
+        qset.unpersist()
 
 
 def ndcg_reference(grades_in_rank_order: list[int], k: int) -> float:

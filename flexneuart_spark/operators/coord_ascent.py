@@ -97,15 +97,19 @@ def _candidate_metrics(
                 ).alias("dcg")
             )
         )
-        iw = Window.partitionBy("cand", "query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
+        # ideal DCG is candidate-independent — compute it ONCE per query
+        # from the unexploded frame and join, instead of re-ranking the
+        # same grades once per candidate (~51x the window input)
+        iw = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
         ideal = (
-            e.filter(F.col("grade") > 0)
+            feats.filter(F.col("grade") > 0)
+            .select("query_id", "doc_id", "grade")
             .withColumn("irank", F.row_number().over(iw))
             .filter(F.col("irank") <= kk)
-            .groupBy("cand", "query_id")
+            .groupBy("query_id")
             .agg(F.sum(F.col("grade") / F.log2(F.col("irank") + 1.0)).alias("idcg"))
         )
-        per_q = dcg.join(ideal, ["cand", "query_id"], "left").select(
+        per_q = dcg.join(ideal, ["query_id"], "left").select(
             "cand",
             "query_id",
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0).alias("m"),
@@ -157,6 +161,8 @@ def coord_ascent_train(
     m = len(feature_cols)
     if m == 0:
         raise ValueError("feature_cols must be non-empty")
+    if n_restart < 1:
+        raise ValueError(f"n_restart must be >= 1, got {n_restart}")
     rng = random.Random(seed)
     feats = feats.select("query_id", "doc_id", "grade", *feature_cols).persist()
     try:

@@ -345,10 +345,10 @@ def write_ranklib_ensemble_text(ensemble: TreeEnsemble) -> str:
         pad = "\t" * depth
         f = int(nd["feat"][i])
         if f < 0:
-            return f"{pad}<output> {nd['out'][i]!r} </output>\n"
+            return f"{pad}<output> {float(nd['out'][i])!r} </output>\n"
         body = (
             f"{pad}<feature> {f} </feature>\n"
-            f"{pad}<threshold> {nd['thr'][i]!r} </threshold>\n"
+            f"{pad}<threshold> {float(nd['thr'][i])!r} </threshold>\n"
             f"{pad}<split pos=\"left\">\n"
             + walk(nd, int(nd["left"][i]), depth + 1)
             + f"{pad}</split>\n"
@@ -360,7 +360,7 @@ def write_ranklib_ensemble_text(ensemble: TreeEnsemble) -> str:
 
     parts = ["## LambdaMART\n<ensemble>\n"]
     for tid, (w, nd) in enumerate(ensemble.trees, 1):
-        parts.append(f'\t<tree id="{tid}" weight="{w!r}">\n\t\t<split>\n')
+        parts.append(f'\t<tree id="{tid}" weight="{float(w)!r}">\n\t\t<split>\n')
         parts.append(walk(nd, 0, 3))
         parts.append("\t\t</split>\n\t</tree>\n")
     parts.append("</ensemble>\n")

@@ -27,7 +27,8 @@ def _read_words(path: str | None) -> list[str]:
     if not path:
         return []
     with open(path, encoding="utf-8") as f:
-        return [w.strip().lower() for w in f if w.strip() and not w.startswith("#")]
+        words = (w.strip() for w in f)
+        return [w.lower() for w in words if w and not w.startswith("#")]
 
 
 def main() -> None:

@@ -120,3 +120,19 @@ def test_evaluate_includes_new_metrics(spark, ranked, qrels):
     m = fx_eval.evaluate(ranked, qrels, cutoffs=(5,), zero_rel_queries="count")
     assert m["r_precision"] == pytest.approx(0.25)  # mean of (0.5, 0)
     assert m["recall@5"] == pytest.approx(0.25)
+
+
+def test_evaluate_no_overlap_returns_zero_metrics(spark):
+    """run/qrels query-id mismatch (or all-zero grades): the metric dict
+    keeps its full stable shape with 0.0 values — not an empty dict that
+    turns downstream lookups into KeyErrors."""
+    run = spark.createDataFrame(
+        [("q1", "d1", 1.0, 1)], "query_id string, doc_id string, score double, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("OTHER", "d1", 1)], "query_id string, doc_id string, grade int"
+    )
+    out = fx_eval.evaluate(run, qrels)
+    assert out["map"] == 0.0 and out["mrr"] == 0.0
+    assert any(k.startswith("ndcg@") for k in out)
+    assert all(v == 0.0 for v in out.values())
