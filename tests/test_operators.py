@@ -444,3 +444,47 @@ def test_pq_planted_near_dup_recall(spark):
               similarity.pq_topk(df, qids, k=5, m=8, n_codes=16, n_iter=2).collect()}
     hit = sum(1 for q in qids if (q, q + 1) in approx)
     assert hit >= 8, f"planted-twin recall {hit}/10"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property test: large-star/small-star output equals a classic
+    union-find on random edge lists (ids as zero-padded strings so the
+    lexicographic component min matches the numeric one)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+
+    @given(st.lists(edge, min_size=1, max_size=40))
+    @settings(max_examples=12, deadline=None)
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        ids = set()
+        clean = [(a, b) for a, b in edges if a != b]
+        if not clean:
+            return
+        for a, b in clean:
+            union(a, b)
+            ids.update((a, b))
+        # root-compress, then express as min-reachable id
+        want = {f"n{x:02d}": f"n{find(x):02d}" for x in ids}
+        pairs = spark.createDataFrame(
+            [(f"n{a:02d}", f"n{b:02d}") for a, b in clean], ["id_a", "id_b"]
+        )
+        got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+        assert got == want
+
+    check()
