@@ -377,6 +377,10 @@ def main() -> None:
             "  converges in <15 rounds, tested); each half-round one groupBy\n"
             "  shuffle + equi-join, edge set localCheckpoint-ed per round so the\n"
             "  detector DAG runs once.\n"
+            "- emb_pq_ann: codebooks are m*n_codes subvectors (broadcast-sized\n"
+            "  regardless of corpus size); encode is one broadcast join + per-vec\n"
+            "  argmin; ADC scoring joins 8-bit-scale code labels to a per-query\n"
+            "  LUT and aggregates map-side — storage 8*m bits/vec vs 32*d raw.\n"
             "- krovetz_stem: stateless Arrow-batched map, embarrassingly parallel.\n"
             "- emb_cosine_topk: broadcast query side, linear scan — the exact\n"
             "  baseline; the ANN entries (LSH/RP/IVF) are the scale path.\n"
