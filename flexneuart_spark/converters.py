@@ -189,6 +189,10 @@ _CRAN_SCHEMA = T.StructType(
         T.StructField(VENUE_FIELD, T.StringType()),
         T.StructField(BODY_FIELD, T.StringType()),
         T.StructField(TEXT_RAW_FIELD, T.StringType()),
+        # diagnostic: non-empty content lines before the first section
+        # marker (discarded by the stateful walk) — nonzero signals a
+        # malformed record silently losing text
+        T.StructField("n_skipped_lines", T.IntegerType()),
     ]
 )
 
@@ -205,6 +209,7 @@ def _parse_cranfield_record(rec: str) -> tuple:
     fields = {TITLE_FIELD: "", AUTHOR_FIELD: "", VENUE_FIELD: "", BODY_FIELD: ""}
     prev = None
     buf: list[str] = []
+    skipped = 0
     body_lines = lines[1:]
     for line in body_lines:
         stripped = line.strip()
@@ -213,6 +218,9 @@ def _parse_cranfield_record(rec: str) -> tuple:
                 fields[_CRAN_FIELD_MAP[prev]] = "\n".join(buf).strip()
             prev = stripped
             buf = []
+        elif prev is None:
+            if stripped:
+                skipped += 1  # content before the first marker is dropped
         else:
             buf.append(line)
     if prev is not None:
@@ -225,6 +233,7 @@ def _parse_cranfield_record(rec: str) -> tuple:
         fields[VENUE_FIELD],
         fields[BODY_FIELD],
         text_raw,
+        skipped,
     )
 
 

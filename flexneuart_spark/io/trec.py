@@ -29,6 +29,7 @@ def read_qrels(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.text(path)
         .filter(F.trim("value") != "")
+        .filter(F.size(p) >= 4)  # reject short/malformed lines outright
         .select(
             p.getItem(0).alias("query_id"),
             p.getItem(2).alias("doc_id"),
@@ -50,6 +51,7 @@ def read_run(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.text(path)
         .filter(F.trim("value") != "")
+        .filter(F.size(p) >= 6)  # reject short/malformed lines outright
         .select(
             p.getItem(0).alias("query_id"),
             p.getItem(2).alias("doc_id"),

@@ -139,6 +139,14 @@ def _line_search_steps(orig: float, n_max_iteration: float, step_base: float, st
     return totals
 
 
+def _l1_normalize(w: list[float]) -> list[float]:
+    """L1-normalize (positive scale → rank- and metric-invariant,
+    CoorAscent.java:392-404). Degenerate all-zero vector → reset to
+    uniform 1/m, mirroring RankLib's normalize() branch."""
+    s = sum(abs(x) for x in w)
+    return [x / s for x in w] if s > 0 else [1.0 / len(w)] * len(w)
+
+
 def coord_ascent_train(
     feats: DataFrame,
     feature_cols: list[str],
@@ -190,11 +198,7 @@ def coord_ascent_train(
                     bi = max(range(len(cands)), key=lambda i: scores[i])
                     if scores[bi] > best:
                         w = cands[bi]
-                        # L1-normalize (positive scale → rank- and
-                        # metric-invariant, CoorAscent.java:392-404)
-                        s = sum(abs(x) for x in w)
-                        if s > 0:
-                            w = [x / s for x in w]
+                        w = _l1_normalize(w)
                         best = scores[bi]
                         fails = 0
                     else:

@@ -354,7 +354,9 @@ def pq_train(
     :func:`ivf_centroids` seed trick, same rows for every subspace), then
     ``n_iter`` Lloyd rounds (assign by rounded squared-L2, recompute
     per-(sub, code, pos) means rounded to 6dp → exact SQL twin, like
-    :func:`ivf_train`). Returns (sub, code, cw).
+    :func:`ivf_train`; a codeword with zero assignments keeps its
+    previous value, so the codebook always stays m·n_codes rows).
+    Returns (sub, code, cw).
 
     Scale posture: the codebook is m·n_codes·(d/m) floats — driver/
     broadcast-sized regardless of corpus size; each Lloyd round is one
@@ -381,7 +383,7 @@ def pq_train(
         scored = subs.join(F.broadcast(cb), "sub").withColumn("d2", _pq_d2("sv", "cw"))
         w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("code"))
         assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
-        cb = (
+        means = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
             .groupBy("sub", "code", "pos")
             .agg(F.round(F.avg("val"), 6).alias("mval"))
@@ -389,8 +391,15 @@ def pq_train(
             .agg(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("pos", "mval"))), lambda s: s["mval"]
-                ).alias("cw")
+                ).alias("new_cw")
             )
+        )
+        # Classic Lloyd convention: a codeword with no assignments keeps
+        # its previous value (left join + coalesce) so the codebook never
+        # silently shrinks below n_codes.
+        cb = (
+            cb.join(means, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("new_cw", "cw").alias("cw"))
         )
     return cb
 

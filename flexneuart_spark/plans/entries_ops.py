@@ -827,7 +827,11 @@ expl AS (
   FROM a0 a JOIN subs s ON a.vec_id = s.vec_id AND a.sub = s.sub
 ),
 m1 AS (SELECT sub, code, pos, round(avg(val), 6) AS mval FROM expl GROUP BY 1, 2, 3),
-cb1 AS (SELECT sub, code, array_agg(mval ORDER BY pos) AS cw FROM m1 GROUP BY 1, 2),
+cb1m AS (SELECT sub, code, array_agg(mval ORDER BY pos) AS cw FROM m1 GROUP BY 1, 2),
+cb1 AS (
+  SELECT c.sub, c.code, coalesce(n.cw, c.cw) AS cw
+  FROM cb0 c LEFT JOIN cb1m n ON c.sub = n.sub AND c.code = n.code
+),
 codes AS (
   SELECT vec_id, sub, code FROM (
     SELECT s.vec_id, s.sub, c.code,

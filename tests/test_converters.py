@@ -161,3 +161,16 @@ def test_bert_retok_field(spark):
     lines = spark.createDataFrame([("q1\tthe running cats",)], "value string")
     got = C.msmarco_queries(lines, DICT, STOPS, bert_vocab=vocab).collect()[0]
     assert got["text_bert_tok"] == "the run ##ning cat ##s"
+
+
+def test_cranfield_counts_skipped_prefix_lines(spark, tmp_path):
+    """Content before the first section marker is discarded by the
+    stateful walk (mirroring the reference) but now counted, so a
+    malformed record can't silently lose text."""
+    raw = ".I 1\nstray line before any marker\n.T\na title\n.W\nbody text\n"
+    p = tmp_path / "cran.all"
+    p.write_text(raw)
+    row = C.read_cranfield(spark, str(p)).collect()[0]
+    assert row["n_skipped_lines"] == 1
+    assert row["title"] == "a title"
+    assert row["body"] == "body text"

@@ -82,3 +82,12 @@ def test_model_roundtrip(spark, feats, tmp_path):
     assert intercept == 0.0
     named = weights_for_features(loaded, FEATURES)
     assert named == pytest.approx(weights)
+
+
+def test_l1_normalize_zero_vector_resets_uniform():
+    """RankLib's normalize() resets to uniform 1/m when the accepted
+    weights sum to 0 in absolute value (CoorAscent.java:392-404)."""
+    from flexneuart_spark.operators.coord_ascent import _l1_normalize
+
+    assert _l1_normalize([0.0, 0.0, 0.0, 0.0]) == [0.25, 0.25, 0.25, 0.25]
+    assert _l1_normalize([0.5, -1.5]) == pytest.approx([0.25, -0.75])

@@ -136,3 +136,19 @@ def test_evaluate_no_overlap_returns_zero_metrics(spark):
     assert out["map"] == 0.0 and out["mrr"] == 0.0
     assert any(k.startswith("ndcg@") for k in out)
     assert all(v == 0.0 for v in out.values())
+
+
+def test_read_qrels_rejects_short_lines(spark, tmp_path):
+    p = tmp_path / "qrels.txt"
+    p.write_text("q1 0 d1 2\nq1 0 d9\n\nq2 0 d1 0\nbroken\n")
+    got = read_qrels(spark, str(p)).collect()
+    assert {(r.query_id, r.doc_id, r.grade) for r in got} == {("q1", "d1", 2), ("q2", "d1", 0)}
+    assert all(r.doc_id is not None and r.grade is not None for r in got)
+
+
+def test_read_run_rejects_short_lines(spark, tmp_path):
+    p = tmp_path / "run.txt"
+    p.write_text("q1 Q0 d1 1 3.5 sys\nq1 Q0 d2 2\nq2 Q0 d1 1 1.0 sys\n")
+    got = read_run(spark, str(p)).collect()
+    assert {(r.query_id, r.doc_id) for r in got} == {("q1", "d1"), ("q2", "d1")}
+    assert all(r.score is not None and r.run_id is not None for r in got)

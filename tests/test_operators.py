@@ -488,3 +488,26 @@ def test_connected_components_matches_union_find(spark):
         assert got == want
 
     check()
+
+
+def test_pq_train_keeps_dead_codewords(spark):
+    """A codeword with zero assignments keeps its previous value (left
+    join + coalesce), so the codebook never shrinks below m*n_codes.
+    Duplicate vectors force a dead code: both duplicates are seeds, but
+    assignment ties break by code asc so the larger code wins nothing."""
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # exact duplicate of 0
+        (2, [1.0, 2.0, 3.0, 4.0]),
+        (3, [4.0, 3.0, 2.0, 1.0]),
+    ]
+    emb4 = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cb = similarity.pq_train(emb4, m=2, n_codes=4, n_iter=2)
+    rows = cb.collect()
+    # all 4 seeds survive in both subspaces despite the duplicate pair
+    assert len(rows) == 2 * 4
+    assert all(r.cw is not None and len(r.cw) == 2 for r in rows)
+    per_sub = {}
+    for r in rows:
+        per_sub.setdefault(r.sub, set()).add(r.code)
+    assert all(codes == {0, 1, 2, 3} for codes in per_sub.values())
