@@ -476,3 +476,121 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_vec_id", "vec_id", "cos_r", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC) — the billion-vector composition of the two scale paths
+# ---------------------------------------------------------------------------
+
+def ivfpq_residuals(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest coarse cell (r=1) and subtract
+    that centroid: the residual is what the PQ codebooks quantize
+    (Jégou et al. 2011 §V, IVFADC). Returns (id, cell, rv). The
+    subtraction is exact IEEE (`zip_with` x−y), so it twins in SQL."""
+    assign = ivf_assign(emb, id_col=id_col, vec_col=vec_col, nprobe=1, centroids=centroids)
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return (
+        e.join(assign.drop("r"), id_col)
+        .join(F.broadcast(centroids.select("cell", "cv")), "cell")
+        .select(id_col, "cell", F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC ANN (Jégou et al. 2011 §III-C/V): coarse-quantize into
+    ``n_cells`` inverted lists, PQ-encode the RESIDUAL x − c(x) with
+    ``m``×``n_codes`` codebooks, and score queries against the probed
+    cells' reconstructions x̂ = c + recon(codes):
+
+        cos(q, x̂) = (q·c + Σ_sub q_sub·cw) /
+                    (|q| · sqrt(|c|² + 2·Σ c_sub·cw + Σ|cw|²))
+
+    Every c- and q-dependent term comes from broadcast-sized lookup
+    tables (ccw: n_cells·m·n_codes rows; qlut: |queries|·m·n_codes), so
+    the only big-data operations are one broadcast probe join over the
+    code table (N·m rows, never the raw vectors) and one map-side-
+    combined groupBy — the memory-bandwidth profile that makes IVFADC
+    the billion-vector layout. Pass trained ``centroids`` from
+    :func:`ivf_train` for a Lloyd coarse quantizer; the default is the
+    md5-picked :func:`ivf_centroids` (exact data vectors → residuals
+    stay exactly SQL-twinnable). Returns the family shape
+    (query_vec_id, vec_id, cos_r, rank)."""
+    dsub = _pq_dims(emb, m, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    resid = ivfpq_residuals(emb, cents, id_col, vec_col)
+    cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv")
+    codes = pq_encode(resid, cb, m, id_col, "rv").join(
+        resid.select(id_col, "cell"), id_col
+    )
+    # per-(cell, sub, code) centroid⊙codeword table — broadcast-sized
+    csubs = cents.select(
+        "cell", "cn", F.posexplode(F.array(*_sub_slices("cv", m, dsub))).alias("sub", "csv")
+    )
+    ccw = csubs.join(F.broadcast(cb), "sub").select(
+        "cell", "sub", "code", _dot("csv", "cw").alias("cdotcw"), _dot("cw", "cw").alias("cwn2")
+    )
+    qe = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_vec_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", _norm("qv"))
+    )
+    probes = ivf_assign(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col=id_col, vec_col=vec_col,
+        nprobe=max(1, nprobe), centroids=cents,
+    ).select(F.col(id_col).alias("query_vec_id"), "cell")
+    qdotc = (
+        probes.join(qe, "query_vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select("query_vec_id", "cell", _dot("qv", "cv").alias("qc"), "qn", "cn")
+    )
+    qsubs = qe.select(
+        "query_vec_id", F.posexplode(F.array(*_sub_slices("qv", m, dsub))).alias("sub", "qsv")
+    )
+    qlut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_vec_id", "sub", "code", _dot("qsv", "cw").alias("qpart")
+    )
+    persub = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qlut), ["query_vec_id", "sub", "code"])
+        .join(F.broadcast(ccw), ["cell", "sub", "code"])
+    )
+    agg = persub.groupBy("query_vec_id", F.col(id_col).alias("vec_id"), "cell").agg(
+        F.sum("qpart").alias("qrec"),
+        F.sum("cdotcw").alias("crec"),
+        F.sum("cwn2").alias("rn2"),
+    )
+    scored = (
+        agg.join(F.broadcast(qdotc), ["query_vec_id", "cell"])
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn(
+            "cos_r",
+            F.round(
+                (F.col("qc") + F.col("qrec"))
+                / (F.col("qn") * F.sqrt(F.col("cn") * F.col("cn") + 2.0 * F.col("crec") + F.col("rn2"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "cos_r", "rank")
+    )

@@ -868,6 +868,140 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §III-C/V) — the billion-vector ANN
+    layout: 4 coarse cells (md5-picked centroids → exact residuals),
+    PQ over the RESIDUAL x − c(x) with 4×16 codebooks (one Lloyd round,
+    dead codewords retained), nprobe=2 probe search scored against the
+    reconstructions c + recon(codes). The whole pipeline — coarse
+    assign, residual, codebook training, encode, ADC — follows the
+    ivf_train/pq_train determinism discipline (6dp-rounded means and
+    distances, ties by code/cell asc), so it has an exact SQL twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivfpq_topk(
+        emb, EMB_QUERY_IDS, k=5, n_cells=4, nprobe=2, m=4, n_codes=16, n_iter=1
+    )
+
+
+def _sub_slices_sql(src: str, cols: str, out: str, m: int = 4, dsub: int = 16) -> str:
+    """UNION ALL of the m subvector slices of a list column (the
+    _pq_subs_sql pattern, parameterized over the source CTE)."""
+    parts = [
+        f"SELECT {cols}, {s} AS sub, {out}[{s * dsub + 1}:{(s + 1) * dsub}] AS sv FROM {src}"
+        for s in range(m)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_EMB_IVFPQ_ANN = f"""
+WITH {SQL_EMB},
+cents AS (
+  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+),
+assign AS (
+  SELECT vec_id, cell, r FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell ASC) AS r
+    FROM emb e CROSS JOIN cents c
+  ) WHERE r <= 2
+),
+rex AS (
+  SELECT e.vec_id, a.cell,
+         unnest(e.v) AS ev, unnest(c.cv) AS cvv,
+         unnest(range(1, len(e.v) + 1)) AS pos
+  FROM emb e JOIN assign a ON e.vec_id = a.vec_id AND a.r = 1
+  JOIN cents c ON a.cell = c.cell
+),
+resid AS (
+  SELECT vec_id, cell, array_agg(ev - cvv ORDER BY pos) AS rv
+  FROM rex GROUP BY vec_id, cell
+),
+rsubs AS ({_sub_slices_sql("resid", "vec_id", "rv")}),
+seeds AS (
+  SELECT vec_id AS code, rv FROM resid
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cb0 AS (
+  SELECT s.sub, d.code, s.sv AS cw
+  FROM rsubs s JOIN seeds d ON s.vec_id = d.code
+),
+a0 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
+    FROM rsubs s JOIN cb0 c USING (sub)
+  ) WHERE r = 1
+),
+expl AS (
+  SELECT a.sub, a.code, unnest(s.sv) AS val, unnest(range(1, len(s.sv) + 1)) AS pos
+  FROM a0 a JOIN rsubs s ON a.vec_id = s.vec_id AND a.sub = s.sub
+),
+m1 AS (SELECT sub, code, pos, round(avg(val), 6) AS mval FROM expl GROUP BY 1, 2, 3),
+cb1m AS (SELECT sub, code, array_agg(mval ORDER BY pos) AS cw FROM m1 GROUP BY 1, 2),
+cb1 AS (
+  SELECT c.sub, c.code, coalesce(n.cw, c.cw) AS cw
+  FROM cb0 c LEFT JOIN cb1m n ON c.sub = n.sub AND c.code = n.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
+    FROM rsubs s JOIN cb1 c USING (sub)
+  ) WHERE r = 1
+),
+csubs AS ({_sub_slices_sql("cents", "cell, cn", "cv")}),
+ccw AS (
+  SELECT cs.cell, cs.sub, c.code,
+         list_dot_product(cs.sv, c.cw) AS cdotcw,
+         list_dot_product(c.cw, c.cw) AS cwn2
+  FROM csubs cs JOIN cb1 c USING (sub)
+),
+probes AS (
+  SELECT vec_id AS query_vec_id, cell FROM assign
+  WHERE r <= 2 AND vec_id IN (0, 1, 2, 3, 4)
+),
+qdotc AS (
+  SELECT p.query_vec_id, p.cell,
+         list_dot_product(e.v, c.cv) AS qc, e.nrm AS qn, c.cn
+  FROM probes p JOIN emb e ON p.query_vec_id = e.vec_id
+  JOIN cents c ON p.cell = c.cell
+),
+qraw AS (SELECT vec_id AS query_vec_id, v FROM emb WHERE vec_id IN (0, 1, 2, 3, 4)),
+qsubs AS ({_sub_slices_sql("qraw", "query_vec_id", "v")}),
+qlut AS (
+  SELECT qs.query_vec_id, qs.sub, c.code,
+         list_dot_product(qs.sv, c.cw) AS qpart
+  FROM qsubs qs JOIN cb1 c USING (sub)
+),
+cand AS (SELECT cd.vec_id, cd.sub, cd.code, r.cell FROM codes cd JOIN resid r USING (vec_id)),
+agg AS (
+  SELECT p.query_vec_id, c.vec_id, c.cell,
+         sum(ql.qpart) AS qrec, sum(cw.cdotcw) AS crec, sum(cw.cwn2) AS rn2
+  FROM cand c
+  JOIN probes p USING (cell)
+  JOIN qlut ql ON ql.query_vec_id = p.query_vec_id AND ql.sub = c.sub AND ql.code = c.code
+  JOIN ccw cw ON cw.cell = c.cell AND cw.sub = c.sub AND cw.code = c.code
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT a.query_vec_id, a.vec_id,
+         round((d.qc + a.qrec) / (d.qn * sqrt(d.cn * d.cn + 2 * a.crec + a.rn2)), 6) AS cos_r
+  FROM agg a JOIN qdotc d ON a.query_vec_id = d.query_vec_id AND a.cell = d.cell
+  WHERE a.vec_id <> a.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos_r,
+         CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY cos_r DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 OPS_QUERIES_REG = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -885,6 +1019,7 @@ OPS_QUERIES_REG = {
     "emb_ivf_trained": q_emb_ivf_trained,
     "emb_rp_ann": q_emb_rp_ann,
     "emb_pq_ann": q_emb_pq_ann,
+    "emb_ivfpq_ann": q_emb_ivfpq_ann,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -911,6 +1046,7 @@ OPS_ORACLE_SQL = {
     "emb_ivf_trained": SQL_EMB_IVF_TRAINED,
     "emb_rp_ann": SQL_EMB_RP_ANN,
     "emb_pq_ann": SQL_EMB_PQ_ANN,
+    "emb_ivfpq_ann": SQL_EMB_IVFPQ_ANN,
     "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,

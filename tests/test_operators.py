@@ -511,3 +511,56 @@ def test_pq_train_keeps_dead_codewords(spark):
     for r in rows:
         per_sub.setdefault(r.sub, set()).add(r.code)
     assert all(codes == {0, 1, 2, 3} for codes in per_sub.values())
+
+
+def test_ivfpq_planted_near_dup_recall(spark):
+    """IVFADC's contract: strong neighbours land in the same coarse cell
+    AND survive residual quantization — a planted twin (cos ≈ 0.995)
+    stays in the top-5 for nearly all queries at nprobe=2."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        base = rng.standard_normal(32)
+        rows.append((i * 2, [float(x) for x in base]))
+        noisy = base + 0.05 * rng.standard_normal(32)
+        rows.append((i * 2 + 1, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+    approx = {(r.query_vec_id, r.vec_id) for r in
+              similarity.ivfpq_topk(df, qids, k=5, n_cells=4, nprobe=2,
+                                    m=8, n_codes=16, n_iter=2).collect()}
+    hit = sum(1 for q in qids if (q, q + 1) in approx)
+    assert hit >= 8, f"planted-twin recall {hit}/10"
+
+
+def test_ivfpq_residuals_reconstruct(spark, emb):
+    """cell centroid + residual must reconstruct the original vector
+    exactly (the subtraction is plain IEEE, no rounding)."""
+    cents = similarity.ivf_centroids(emb, n_cells=4)
+    cmap = {r.cell: r.cv for r in cents.collect()}
+    got = similarity.ivfpq_residuals(emb, cents).collect()
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    assert len(got) == len(orig)
+    for r in got:
+        rebuilt = [c + rv for c, rv in zip(cmap[r.cell], r.rv)]
+        assert rebuilt == pytest.approx(orig[r.vec_id], abs=1e-9)
+
+
+def test_ivfpq_candidates_subset_of_probed_cells(spark, emb):
+    """Every returned neighbour must live in one of the query's nprobe
+    probed cells — the IVF pruning invariant."""
+    cents = similarity.ivf_centroids(emb, n_cells=4)
+    assign = {r.vec_id: r.cell for r in
+              similarity.ivf_assign(emb, centroids=cents, nprobe=1).collect()}
+    probes = {}
+    qids = [0, 1, 2, 3, 4]
+    probe_rows = similarity.ivf_assign(
+        emb.filter(F.col("vec_id").isin(qids)), centroids=cents, nprobe=2).collect()
+    for r in probe_rows:
+        probes.setdefault(r.vec_id, set()).add(r.cell)
+    out = similarity.ivfpq_topk(emb, qids, k=5, n_cells=4, nprobe=2).collect()
+    assert len(out) == 25
+    for r in out:
+        assert assign[r.vec_id] in probes[r.query_vec_id]
