@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_components",
     "emb_cosine_topk",
     "emb_pq_ann",
+    "emb_ivfpq_ann",
     "krovetz_stem",
     "text_quality",
     "events_minutely",

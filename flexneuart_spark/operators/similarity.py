@@ -594,3 +594,116 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_vec_id", "vec_id", "cos_r", "rank")
     )
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> dict:
+    """Persist an IVFADC index: encode once, query many. Layout:
+
+    - ``{path}/centroids``  — (cell, cv, cn): n_cells rows (broadcast).
+    - ``{path}/codebooks``  — (sub, code, cw): m·n_codes rows (broadcast).
+    - ``{path}/codes``      — (id, cell, sub, code): the ONLY corpus-sized
+      table, m small rows per vector (8·m bits of payload each vs 32·d
+      for raw floats), written partitioned by ``cell`` so a probe scan
+      reads just nprobe/n_cells of the data (partition pruning).
+
+    At 100 TB of raw vectors the codes table is the on-disk working set
+    (~64× smaller at d=64/m=4) and queries never touch the raw corpus.
+    Returns the params dict (also written to ``{path}/meta.json``-style
+    parquet for self-description)."""
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    resid = ivfpq_residuals(emb, cents, id_col, vec_col)
+    cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes = pq_encode(resid, cb, m, id_col, "rv").join(resid.select(id_col, "cell"), id_col)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    meta = {"n_cells": n_cells, "m": m, "n_codes": n_codes, "id_col": id_col}
+    spark = emb.sparkSession
+    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return meta
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVFADC index (:func:`ivfpq_build`) with a frame
+    of raw query vectors (id_col, vec_col). Probing filters the codes
+    scan to the queries' cells BEFORE the read (partition pruning on the
+    ``cell`` directory key), then scores through the same broadcast LUTs
+    as :func:`ivfpq_topk`. Self-matches are kept: external queries are
+    not corpus rows (callers with in-corpus queries filter afterwards)."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    m = int(meta["m"])
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+    dsub = _pq_dims(queries, m, vec_col)
+
+    qe = (
+        queries.select(F.col(id_col).alias("query_vec_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", _norm("qv"))
+    )
+    qscored = qe.crossJoin(F.broadcast(cents)).withColumn(
+        "qcos", _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("qcos"), F.asc("cell"))
+    probes = (
+        qscored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_vec_id", "cell", _dot("qv", "cv").alias("qc"), "qn", "cn")
+    )
+    probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    codes = codes.filter(F.col("cell").isin(probe_cells))  # partition pruning
+
+    csubs = cents.select(
+        "cell", F.posexplode(F.array(*_sub_slices("cv", m, dsub))).alias("sub", "csv")
+    )
+    ccw = csubs.join(F.broadcast(cb), "sub").select(
+        "cell", "sub", "code", _dot("csv", "cw").alias("cdotcw"), _dot("cw", "cw").alias("cwn2")
+    )
+    qsubs = qe.select(
+        "query_vec_id", F.posexplode(F.array(*_sub_slices("qv", m, dsub))).alias("sub", "qsv")
+    )
+    qlut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_vec_id", "sub", "code", _dot("qsv", "cw").alias("qpart")
+    )
+    persub = (
+        codes.join(F.broadcast(probes.select("query_vec_id", "cell")), "cell")
+        .join(F.broadcast(qlut), ["query_vec_id", "sub", "code"])
+        .join(F.broadcast(ccw), ["cell", "sub", "code"])
+    )
+    agg = persub.groupBy("query_vec_id", F.col(meta["id_col"]).alias("vec_id"), "cell").agg(
+        F.sum("qpart").alias("qrec"),
+        F.sum("cdotcw").alias("crec"),
+        F.sum("cwn2").alias("rn2"),
+    )
+    scored = agg.join(F.broadcast(probes), ["query_vec_id", "cell"]).withColumn(
+        "cos_r",
+        F.round(
+            (F.col("qc") + F.col("qrec"))
+            / (F.col("qn") * F.sqrt(F.col("cn") * F.col("cn") + 2.0 * F.col("crec") + F.col("rn2"))),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "cos_r", "rank")
+    )

@@ -564,3 +564,30 @@ def test_ivfpq_candidates_subset_of_probed_cells(spark, emb):
     assert len(out) == 25
     for r in out:
         assert assign[r.vec_id] in probes[r.query_vec_id]
+
+
+def test_ivfpq_build_search_matches_inline(spark, emb, tmp_path):
+    """Persisted index (build once / query many) returns exactly the
+    inline ivfpq_topk results; the codes table is partitioned by cell so
+    probing prunes partitions instead of scanning the corpus."""
+    import os
+
+    path = str(tmp_path / "ivfpq_idx")
+    meta = similarity.ivfpq_build(emb, path, n_cells=4, m=4, n_codes=16, n_iter=1)
+    assert meta["m"] == 4
+    # cell=... partition directories on disk
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/codes"))
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = (
+        similarity.ivfpq_search(spark, path, queries, k=6, nprobe=2)
+        .filter(F.col("query_vec_id") != F.col("vec_id"))
+        .collect()
+    )
+    want = {(r.query_vec_id, r.vec_id): r.cos_r
+            for r in similarity.ivfpq_topk(emb, qids, k=5, n_cells=4, nprobe=2).collect()}
+    got_top5 = {}
+    for r in sorted(got, key=lambda r: (r.query_vec_id, r.rank)):
+        if sum(1 for k2 in got_top5 if k2[0] == r.query_vec_id) < 5:
+            got_top5[(r.query_vec_id, r.vec_id)] = r.cos_r
+    assert got_top5 == want
