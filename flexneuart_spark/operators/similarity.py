@@ -23,6 +23,13 @@ Spark plan:
   string ids); every vector is assigned to its nearest centroid
   (broadcast centroid join); queries probe their ``nprobe`` nearest
   cells. Exact within the probed cells.
+- ``pq_train`` / ``pq_encode`` / ``pq_topk`` — product quantization
+  (Jégou et al. 2011): per-subspace codebooks, 8·m bits per vector,
+  asymmetric-distance (ADC) scoring through per-query LUTs.
+- ``ivfpq_topk`` / ``ivfpq_build`` / ``ivfpq_search`` — IVFADC, the
+  composition: PQ over the residual x − c(x) inside coarse cells; the
+  persisted form stores a cell-partitioned codes table (probe-time
+  partition pruning) — the billion-vector layout.
 """
 
 from __future__ import annotations
