@@ -234,6 +234,29 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, float, dict, dict
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def measure_assign_compare(spark, reps: int = 2) -> dict:
+    """Interleaved medians for the IVF/PQ assignment strategies
+    (results pytest-pinned identical): "udf" = Arrow/BLAS narrow map
+    (default — shuffle-free, the huge-N shape), "window" = broadcast
+    join + window (the DuckDB oracle's literal shape)."""
+    import time as _t
+
+    from flexneuart_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    out: dict[str, list[float]] = {}
+    for rep in range(reps + 1):  # rep 0 warms workers/JIT, then measure
+        for mode in ("udf", "window"):
+            t0 = _t.time()
+            similarity.pq_topk(emb, qids, k=5, assign=mode).count()
+            out.setdefault(f"pq_topk_{mode}", []).append(round(_t.time() - t0, 3))
+            t0 = _t.time()
+            similarity.ivfpq_topk(emb, qids, k=5, assign=mode).count()
+            out.setdefault(f"ivfpq_topk_{mode}", []).append(round(_t.time() - t0, 3))
+    return {k: sorted(v[1:])[len(v[1:]) // 2] for k, v in out.items()}
+
+
 def main() -> None:
     # ---- synthetic bench corpus (deterministic, written once) ----
     from flexneuart_spark.fixtures import make_corpus_scaled
@@ -266,6 +289,7 @@ def main() -> None:
     # comparable round-over-round, unlike the old single-shot wall time
     suite_sec = round(sum(qtimes.values()), 3)
     p50, batch_pq, index_sizes, kernel_compare = measure_query_p50(spark, corpus_path)
+    assign_compare = measure_assign_compare(spark)
     spark.stop()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -297,6 +321,7 @@ def main() -> None:
         "index_sizes_mb": index_sizes,
         "query_batch_sec_per_query": round(batch_pq, 4),
         "kernel_compare": kernel_compare,
+        "assign_compare": assign_compare,
     }
 
     os.makedirs("BENCH", exist_ok=True)
@@ -330,6 +355,19 @@ def main() -> None:
             "opt-ins (`search(kernel=, driver_merge=)`) since the trade can flip\n"
             "on clusters where scheduling dominates (very small k, many tiny\n"
             "shards, high scheduler latency).\n"
+        )
+        f.write(
+            "\nIVF/PQ assignment-strategy comparison (results pytest-pinned"
+            " identical; interleaved medians, warm-up rep dropped):\n\n"
+            "| config | value |\n|---|---|\n"
+            + "".join(f"| {k} | {v} s |\n" for k, v in assign_compare.items())
+            + "\nWhy the Arrow/BLAS path (`assign='udf'`) is the default: it is\n"
+            "both measured faster here AND the only shape that survives huge\n"
+            "corpora — nearest-centroid/codeword assignment against driver-sized\n"
+            "tables as one matmul per Arrow batch, instead of shuffling\n"
+            "N·n_cells (or N·m·n_codes) joined rows through a per-id window.\n"
+            "The join+window form stays available as the explicit relational\n"
+            "twin of the DuckDB oracle.\n"
         )
         f.write(
             f"\nPer-query seconds (median of {HEADLINE_REPS} interleaved suite"

@@ -53,6 +53,17 @@ def _norm(col: str):
     return F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x))
 
 
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Collect a broadcast-sized frame (centroids: n_cells rows;
+    codebooks: m·n_codes rows) and re-create it as a local DataFrame.
+    This CUTS the lineage: a trained codebook otherwise re-runs its
+    whole (iterative) training job for every downstream consumer —
+    encode, query LUT, centroid⊙codeword table — and per Lloyd round.
+    Values are deterministic (md5 seeds + 6dp rounding), so this is a
+    pure plan optimization with identical results."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: list,
@@ -213,62 +224,51 @@ def ivf_centroids(
     )
 
 
-def ivf_train(
-    emb: DataFrame,
-    n_cells: int = 8,
-    n_iter: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd k-means training for the IVF coarse quantizer: init = the
-    md5-hash-picked vectors (:func:`ivf_centroids`), then ``n_iter``
-    rounds of assign (broadcast centroids, cosine argmax) + recompute
-    (per-cell per-position mean via posexplode/groupBy — one shuffle per
-    round, map-side combined). Centroid coordinates are rounded to 6
-    decimals each round, which makes the result independent of partial-
-    aggregation order (double sums of group-sized inputs agree to ~1e-12,
-    far inside the rounding) — so the training has an exact SQL twin.
-    Cells that lose all members drop out (standard Lloyd behaviour).
-    Returns (cell, cv, cn)."""
-    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
-    for _ in range(n_iter):
-        scored = e.crossJoin(F.broadcast(cents)).withColumn(
-            "cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
-        assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mval"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "mval"))), lambda s: s["mval"]
-                ).alias("cv")
-            )
-        )
-        cents = means.withColumn(
-            "cn", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x))
-        )
-    return cents
+def _probe_cells_udf(cents_rows: list, nprobe: int = 1):
+    """Arrow-batched nearest-cells assignment: the centroids (n_cells
+    rows — driver-sized by contract) ship in the UDF closure as one
+    numpy matrix; each batch is ONE BLAS matmul. This replaces the
+    crossJoin + corpus-wide row_number window, whose N·n_cells-row
+    shuffle partitioned by id was the dominant data movement of every
+    IVF-family operator at scale — and at a realistic cell count
+    (IVF wants ~√N cells) the matmul also beats any per-row expression
+    form on CPU. Ordering matches the window's (cos desc, cell asc)
+    tie rule: centroid rows are pre-sorted by cell and a STABLE argsort
+    keeps the lower cell on exact ties. The per-row |v| factor is
+    dropped (constant across cells — identical ordering). BLAS sums in
+    a different order than the SQL twin's sequential fold, so two cells
+    whose cosines agree to ~1e-14 could in principle rank either way —
+    the rp_ann boundary-mass argument: negligible for real data, and
+    the oracle entries pin it on the test corpora."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cents_rows, key=lambda r: r.cell)
+    cmat = np.stack([np.asarray(r.cv, dtype=np.float64) for r in rows])
+    cn = np.asarray([float(r.cn) for r in rows])
+    cells = [r.cell for r in rows]
+    str_cells = isinstance(cells[0], str)
+
+    @pandas_udf("array<string>" if str_cells else "array<long>")
+    def _probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(row, dtype=np.float64) for row in v])
+        score = (x @ cmat.T) / cn[None, :]
+        order = np.argsort(-score, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[cells[j] for j in row] for row in order])
+
+    return _probe
 
 
-def ivf_assign(
-    emb: DataFrame,
-    n_cells: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nprobe: int = 1,
-    centroids: DataFrame | None = None,
-) -> DataFrame:
-    """Rank each vector's cells by cosine against the centroids
-    (broadcast — n_cells rows; hash-picked by default, or pass trained
-    ones from :func:`ivf_train`). Returns (id, cell, r) for r ≤ nprobe;
-    r=1 is the storage assignment, r ≤ nprobe>1 is the query probe set."""
-    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
-    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+DEFAULT_ASSIGN = "udf"  # interleaved A/B at sf0.1: udf (Arrow/BLAS) beats window — and it is the shuffle-free huge-N path
+
+
+def _assign_cells_window(e: DataFrame, cents: DataFrame, id_col: str, nprobe: int) -> DataFrame:
+    """Join+window nearest-cells form — the DuckDB oracle's literal
+    shape. Shuffles N·n_cells rows partitioned by id; kept as the
+    explicit relational twin of the oracle and for environments without
+    Python workers — the default is the shuffle-free Arrow path, which
+    also measured faster (interleaved medians at sf0.1)."""
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     )
@@ -280,6 +280,97 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = DEFAULT_ASSIGN,
+) -> DataFrame:
+    """Lloyd k-means training for the IVF coarse quantizer: init = the
+    md5-hash-picked vectors (:func:`ivf_centroids`), then ``n_iter``
+    rounds of assign (broadcast centroids, cosine argmax) + recompute
+    (per-cell per-position mean via posexplode/groupBy — one shuffle per
+    round, map-side combined). Centroid coordinates are rounded to 6
+    decimals each round, which makes the result independent of partial-
+    aggregation order (double sums of group-sized inputs agree to ~1e-12,
+    far inside the rounding) — so the training has an exact SQL twin.
+    Cells that lose all members drop out (standard Lloyd behaviour).
+    ``assign``: "udf" (:func:`_probe_cells_udf`, the shuffle-free
+    Arrow/BLAS path — measured faster AND the only shape that holds at
+    ≫10⁷ vectors or realistic ~√N cell counts) or "window"
+    (join+window, the oracle's literal shape). Returns (cell, cv, cn)."""
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    for _ in range(n_iter):
+        if assign == "udf":
+            probe = _probe_cells_udf(cents.collect(), nprobe=1)
+            assigned = e.select(id_col, "v", F.element_at(probe("v"), 1).alias("cell"))
+        else:
+            scored = e.crossJoin(F.broadcast(cents)).withColumn(
+                "cos", _dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+            )
+            w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
+            assigned = (
+                scored.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1)
+                .select(id_col, "v", "cell")
+            )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mval"))), lambda s: s["mval"]
+                ).alias("cv")
+            )
+        )
+        cents = _materialize_small(
+            means.withColumn(
+                "cn", F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x))
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    assign: str = DEFAULT_ASSIGN,
+) -> DataFrame:
+    """Rank each vector's cells by cosine against the centroids
+    (broadcast — n_cells rows; hash-picked by default, or pass trained
+    ones from :func:`ivf_train`). Returns (id, cell, r) for r ≤ nprobe;
+    r=1 is the storage assignment, r ≤ nprobe>1 is the query probe set.
+
+    ``assign="udf"`` (default) is a NARROW Arrow-batched map
+    (:func:`_probe_cells_udf`, one BLAS matmul per batch) — no
+    crossJoin, no window shuffle of N·n_cells rows, and measured faster
+    in interleaved medians at sf0.1; ``assign="window"`` is the
+    join+window form (the DuckDB oracle's literal shape). Both rank
+    identically (cos desc, cell asc) — equality is pytest-pinned."""
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    if assign == "udf":
+        probe = _probe_cells_udf(cents.collect(), nprobe=nprobe)
+        return (
+            e.select(F.col(id_col), F.posexplode(probe("v")).alias("pos", "cell"))
+            .select(
+                id_col,
+                "cell",
+                (F.col("pos") + F.lit(1)).cast("int").alias("r"),
+            )
+        )
+    return _assign_cells_window(e, cents, id_col, nprobe)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list,
@@ -289,15 +380,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     nprobe: int = 1,
     centroids: DataFrame | None = None,
+    assign: str = DEFAULT_ASSIGN,
 ) -> DataFrame:
     """IVF ANN: database vectors live in their nearest cell (r=1); each
     query probes its ``nprobe`` nearest cells and runs exact cosine inside
     them. Cells partition the corpus, so the probe join yields each
     candidate once — no dedup needed. Pass ``centroids`` from
     :func:`ivf_train` for the trained quantizer."""
-    assign = ivf_assign(emb, n_cells, id_col, vec_col, nprobe=max(1, nprobe), centroids=centroids)
+    a = ivf_assign(
+        emb, n_cells, id_col, vec_col, nprobe=max(1, nprobe), centroids=centroids, assign=assign
+    )
     e = (
-        emb.join(assign.filter(F.col("r") == 1).drop("r"), id_col)
+        emb.join(a.filter(F.col("r") == 1).drop("r"), id_col)
         .select(F.col(id_col), "cell", _as_double(vec_col).alias("v"))
         .withColumn("nrm", _norm("v"))
     )
@@ -305,7 +399,7 @@ def ivf_topk(
         F.col(id_col).alias("query_vec_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn", _norm("qv"))
     probes = (
-        assign.filter(F.col(id_col).isin(query_ids))
+        a.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_vec_id"), "cell")
     )
     q = probes.join(qv, "query_vec_id")
@@ -347,6 +441,64 @@ def _pq_d2(sv: str, cw: str):
     )
 
 
+def _nearest_code_udf(cb_rows: list):
+    """Arrow-batched nearest-codeword assignment: the codebook
+    (m·n_codes rows — driver-sized by contract) ships in the UDF
+    closure as per-subspace numpy matrices; each batch is ONE BLAS
+    matmul per subspace. This replaces the (id, sub)-window whose
+    N·m·n_codes-row shuffle dominated encode/train at scale — and
+    unlike a literal-expression LUT (higher-order functions are
+    interpreted, not codegen'd), it keeps the per-row cost vectorized.
+    d2 is the same expanded + 6dp-rounded form as :func:`_pq_d2`; ties
+    break by code asc (codebook rows sorted by code, argmin keeps the
+    first) — matching the join+window form the DuckDB oracle spells
+    out. Rounding happens at 6dp, far above BLAS-vs-sequential
+    summation ulps (the ivf_train argument), so results agree with the
+    SQL twin exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r.sub), []).append(r)
+    mats: dict[int, np.ndarray] = {}
+    code_lists: dict[int, list] = {}
+    for s, lst in by_sub.items():
+        lst.sort(key=lambda r: r.code)
+        mats[s] = np.stack([np.asarray(r.cw, dtype=np.float64) for r in lst])
+        code_lists[s] = [r.code for r in lst]
+    str_codes = isinstance(next(iter(code_lists.values()))[0], str)
+
+    @pandas_udf("string" if str_codes else "long")
+    def _assign(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        if len(sub) == 0:
+            return pd.Series([], dtype=object if str_codes else np.int64)
+        subs = sub.to_numpy()
+        sv_mat = np.asarray([np.asarray(x, dtype=np.float64) for x in sv])
+        out = np.empty(len(subs), dtype=object if str_codes else np.int64)
+        for s in np.unique(subs):
+            idx = np.nonzero(subs == s)[0]
+            x = sv_mat[idx]
+            c = mats[int(s)]
+            d2 = np.round((x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :], 6)
+            best = np.argmin(d2, axis=1)
+            codes = code_lists[int(s)]
+            for j, b in zip(idx, best):
+                out[j] = codes[b]
+        return pd.Series(out)
+
+    return _assign
+
+
+def _assign_codes_window(subs: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """Join+window nearest-codeword form — the DuckDB oracle's literal
+    shape (broadcast codebook join, (id, sub)-window). Shuffles
+    N·m·n_codes rows — kept as the explicit relational twin; the
+    Arrow path is the measured-faster default."""
+    scored = subs.join(F.broadcast(cb), "sub").withColumn("d2", _pq_d2("sv", "cw"))
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 4,
@@ -354,6 +506,7 @@ def pq_train(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = DEFAULT_ASSIGN,
 ) -> DataFrame:
     """Train PQ codebooks (Jégou et al. 2011): split each vector into
     ``m`` subvectors; per subspace, k-means with ``n_codes`` codewords.
@@ -366,8 +519,12 @@ def pq_train(
     Returns (sub, code, cw).
 
     Scale posture: the codebook is m·n_codes·(d/m) floats — driver/
-    broadcast-sized regardless of corpus size; each Lloyd round is one
-    broadcast join + one groupBy shuffle of (sub, code, pos) rows."""
+    broadcast-sized regardless of corpus size. ``assign="udf"``
+    (default; :func:`_nearest_code_udf`, Arrow/BLAS) removes the
+    N·m·n_codes-row assignment shuffle and measured faster in
+    interleaved medians; ``assign="window"`` is the join +
+    (id, sub)-window form — the oracle's shape. Both break ties
+    identically (d2 asc, code asc) on 6dp-rounded distances."""
     dsub = _pq_dims(emb, m, vec_col)
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     # md5-pick seeds (the ivf_centroids trick: bounded top-n, exact SQL
@@ -387,9 +544,11 @@ def pq_train(
         F.col(id_col), F.posexplode(F.array(*_sub_slices("v", m, dsub))).alias("sub", "sv")
     )
     for _ in range(n_iter):
-        scored = subs.join(F.broadcast(cb), "sub").withColumn("d2", _pq_d2("sv", "cw"))
-        w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("code"))
-        assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        if assign == "udf":
+            assign_udf = _nearest_code_udf(cb.collect())
+            assigned = subs.select(id_col, "sub", "sv", assign_udf("sub", "sv").alias("code"))
+        else:
+            assigned = _assign_codes_window(subs, cb, id_col)
         means = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
             .groupBy("sub", "code", "pos")
@@ -404,7 +563,7 @@ def pq_train(
         # Classic Lloyd convention: a codeword with no assignments keeps
         # its previous value (left join + coalesce) so the codebook never
         # silently shrinks below n_codes.
-        cb = (
+        cb = _materialize_small(
             cb.join(means, ["sub", "code"], "left")
             .select("sub", "code", F.coalesce("new_cw", "cw").alias("cw"))
         )
@@ -417,23 +576,25 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = DEFAULT_ASSIGN,
 ) -> DataFrame:
     """Encode every vector as ``m`` uint8-sized code ids — 8·m bits per
     vector vs 32·d for raw floats (64-dim float32 → 4 bytes: 64×
     compression at m=4). Returns (vec_id, sub, code): nearest codeword
-    per subspace by rounded squared-L2, ties → code asc."""
+    per subspace by rounded squared-L2, ties → code asc.
+    ``assign="udf"`` (default) = narrow Arrow-batched map
+    (:func:`_nearest_code_udf`, one BLAS matmul per batch — no join, no
+    shuffle); ``assign="window"`` = broadcast join + (id, sub)-window
+    (the oracle's shape)."""
     dsub = _pq_dims(emb, m, vec_col)
     subs = emb.select(
         F.col(id_col),
         F.posexplode(F.array(*_sub_slices(vec_col, m, dsub))).alias("sub", "raw_sv"),
     ).withColumn("sv", F.transform("raw_sv", lambda x: x.cast("double")))
-    scored = subs.join(F.broadcast(codebooks), "sub").withColumn("d2", _pq_d2("sv", "cw"))
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("code"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, "sub", "code")
-    )
+    if assign == "udf":
+        assign_udf = _nearest_code_udf(codebooks.collect())
+        return subs.select(id_col, "sub", assign_udf("sub", "sv").alias("code"))
+    return _assign_codes_window(subs, codebooks, id_col).select(id_col, "sub", "code")
 
 
 def pq_topk(
@@ -446,6 +607,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    assign: str = DEFAULT_ASSIGN,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance (ADC): database vectors are
     scored through their reconstructions (concatenated codewords), the
@@ -453,9 +615,13 @@ def pq_topk(
     accumulated per subspace from a per-query lookup table (the classic
     ADC LUT: m·n_codes partial dot products per query, broadcast-sized).
     Returns (query_vec_id, vec_id, cos_r, rank) — the family shape."""
-    cb = codebooks if codebooks is not None else pq_train(emb, m, n_codes, n_iter, id_col, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_train(emb, m, n_codes, n_iter, id_col, vec_col, assign=assign)
+    )
     dsub = _pq_dims(emb, m, vec_col)
-    codes = pq_encode(emb, cb, m, id_col, vec_col)
+    codes = pq_encode(emb, cb, m, id_col, vec_col, assign=assign)
     qe = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_vec_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn", _norm("qv"))
@@ -494,15 +660,18 @@ def ivfpq_residuals(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = DEFAULT_ASSIGN,
 ) -> DataFrame:
     """Assign every vector to its nearest coarse cell (r=1) and subtract
     that centroid: the residual is what the PQ codebooks quantize
     (Jégou et al. 2011 §V, IVFADC). Returns (id, cell, rv). The
     subtraction is exact IEEE (`zip_with` x−y), so it twins in SQL."""
-    assign = ivf_assign(emb, id_col=id_col, vec_col=vec_col, nprobe=1, centroids=centroids)
+    a1 = ivf_assign(
+        emb, id_col=id_col, vec_col=vec_col, nprobe=1, centroids=centroids, assign=assign
+    )
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     return (
-        e.join(assign.drop("r"), id_col)
+        e.join(a1.drop("r"), id_col)
         .join(F.broadcast(centroids.select("cell", "cv")), "cell")
         .select(id_col, "cell", F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"))
     )
@@ -520,6 +689,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assign: str = DEFAULT_ASSIGN,
 ) -> DataFrame:
     """IVFADC ANN (Jégou et al. 2011 §III-C/V): coarse-quantize into
     ``n_cells`` inverted lists, PQ-encode the RESIDUAL x − c(x) with
@@ -540,10 +710,15 @@ def ivfpq_topk(
     stay exactly SQL-twinnable). Returns the family shape
     (query_vec_id, vec_id, cos_r, rank)."""
     dsub = _pq_dims(emb, m, vec_col)
-    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
-    resid = ivfpq_residuals(emb, cents, id_col, vec_col)
-    cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv")
-    codes = pq_encode(resid, cb, m, id_col, "rv").join(
+    # materialize the n_cells centroid rows once — every consumer below
+    # (storage assign, probes, qdotc, ccw) would otherwise re-run the
+    # corpus-wide TakeOrderedAndProject pick
+    cents = _materialize_small(
+        centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    )
+    resid = ivfpq_residuals(emb, cents, id_col, vec_col, assign=assign).persist()
+    cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv", assign=assign)
+    codes = pq_encode(resid, cb, m, id_col, "rv", assign=assign).join(
         resid.select(id_col, "cell"), id_col
     )
     # per-(cell, sub, code) centroid⊙codeword table — broadcast-sized
@@ -560,7 +735,7 @@ def ivfpq_topk(
     )
     probes = ivf_assign(
         emb.filter(F.col(id_col).isin(query_ids)), id_col=id_col, vec_col=vec_col,
-        nprobe=max(1, nprobe), centroids=cents,
+        nprobe=max(1, nprobe), centroids=cents, assign=assign,
     ).select(F.col(id_col).alias("query_vec_id"), "cell")
     qdotc = (
         probes.join(qe, "query_vec_id")
@@ -613,6 +788,7 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assign: str = DEFAULT_ASSIGN,
 ) -> dict:
     """Persist an IVFADC index: encode once, query many. Layout:
 
@@ -627,13 +803,20 @@ def ivfpq_build(
     (~64× smaller at d=64/m=4) and queries never touch the raw corpus.
     Returns the params dict (also written to ``{path}/meta.json``-style
     parquet for self-description)."""
-    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    cents = _materialize_small(
+        centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    resid = ivfpq_residuals(emb, cents, id_col, vec_col)
-    cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv")
-    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
-    codes = pq_encode(resid, cb, m, id_col, "rv").join(resid.select(id_col, "cell"), id_col)
-    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    resid = ivfpq_residuals(emb, cents, id_col, vec_col, assign=assign).persist()
+    try:
+        cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv", assign=assign)
+        cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+        codes = pq_encode(resid, cb, m, id_col, "rv", assign=assign).join(
+            resid.select(id_col, "cell"), id_col
+        )
+        codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    finally:
+        resid.unpersist()
     meta = {"n_cells": n_cells, "m": m, "n_codes": n_codes, "id_col": id_col}
     spark = emb.sparkSession
     spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -591,3 +591,18 @@ def test_ivfpq_build_search_matches_inline(spark, emb, tmp_path):
         if sum(1 for k2 in got_top5 if k2[0] == r.query_vec_id) < 5:
             got_top5[(r.query_vec_id, r.vec_id)] = r.cos_r
     assert got_top5 == want
+
+
+def test_assign_modes_identical(spark, emb):
+    """The Arrow/BLAS assignment path ("udf", default) and the
+    join+window path ("window", the DuckDB oracle's literal shape) must
+    return identical results for the whole IVF/PQ family."""
+    qids = [0, 1, 2, 3, 4]
+    for fn, kwargs in [
+        (similarity.pq_topk, dict(k=5, m=4, n_codes=16, n_iter=1)),
+        (similarity.ivfpq_topk, dict(k=5, n_cells=4, nprobe=2)),
+        (similarity.ivf_topk, dict(k=5, n_cells=4, nprobe=2)),
+    ]:
+        a = sorted(tuple(r) for r in fn(emb, qids, assign="window", **kwargs).collect())
+        b = sorted(tuple(r) for r in fn(emb, qids, assign="udf", **kwargs).collect())
+        assert a == b, fn.__name__
