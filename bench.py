@@ -234,27 +234,34 @@ def measure_query_p50(spark, corpus_path: str) -> tuple[float, float, dict, dict
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def measure_assign_compare(spark, reps: int = 2) -> dict:
+def measure_assign_compare(reps: int = 3) -> dict:
     """Interleaved medians for the IVF/PQ assignment strategies
     (results pytest-pinned identical): "udf" = Arrow/BLAS narrow map
     (default — shuffle-free, the huge-N shape), "window" = broadcast
-    join + window (the DuckDB oracle's literal shape)."""
+    join + window (the DuckDB oracle's literal shape). Runs in its OWN
+    session: the p50 searcher's cached in-memory postings otherwise
+    leave the JVM heap-pressured and the comparison measures GC, not
+    the strategies."""
     import time as _t
 
     from flexneuart_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    qids = [0, 1, 2, 3, 4]
-    out: dict[str, list[float]] = {}
-    for rep in range(reps + 1):  # rep 0 warms workers/JIT, then measure
-        for mode in ("udf", "window"):
-            t0 = _t.time()
-            similarity.pq_topk(emb, qids, k=5, assign=mode).count()
-            out.setdefault(f"pq_topk_{mode}", []).append(round(_t.time() - t0, 3))
-            t0 = _t.time()
-            similarity.ivfpq_topk(emb, qids, k=5, assign=mode).count()
-            out.setdefault(f"ivfpq_topk_{mode}", []).append(round(_t.time() - t0, 3))
-    return {k: sorted(v[1:])[len(v[1:]) // 2] for k, v in out.items()}
+    spark = _spark(f"local[{CPUS}]", CPUS)
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qids = [0, 1, 2, 3, 4]
+        out: dict[str, list[float]] = {}
+        for rep in range(reps + 1):  # rep 0 warms workers/JIT, then measure
+            for mode in ("udf", "window"):
+                t0 = _t.time()
+                similarity.pq_topk(emb, qids, k=5, assign=mode).count()
+                out.setdefault(f"pq_topk_{mode}", []).append(round(_t.time() - t0, 3))
+                t0 = _t.time()
+                similarity.ivfpq_topk(emb, qids, k=5, assign=mode).count()
+                out.setdefault(f"ivfpq_topk_{mode}", []).append(round(_t.time() - t0, 3))
+        return {k: sorted(v[1:])[len(v[1:]) // 2] for k, v in out.items()}
+    finally:
+        spark.stop()
 
 
 def main() -> None:
@@ -289,8 +296,8 @@ def main() -> None:
     # comparable round-over-round, unlike the old single-shot wall time
     suite_sec = round(sum(qtimes.values()), 3)
     p50, batch_pq, index_sizes, kernel_compare = measure_query_p50(spark, corpus_path)
-    assign_compare = measure_assign_compare(spark)
     spark.stop()
+    assign_compare = measure_assign_compare()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     avg_kb = corpus_mb * 1000.0 / SCALE_DOCS
