@@ -606,3 +606,26 @@ def test_assign_modes_identical(spark, emb):
         a = sorted(tuple(r) for r in fn(emb, qids, assign="window", **kwargs).collect())
         b = sorted(tuple(r) for r in fn(emb, qids, assign="udf", **kwargs).collect())
         assert a == b, fn.__name__
+
+
+def test_ivfpq_search_external_queries(spark, emb, tmp_path):
+    """Queries that are NOT corpus rows (the serving shape): results keep
+    self-matches out naturally (no matching vec_id) and every neighbour
+    comes from the probed cells."""
+    path = str(tmp_path / "ivfpq_ext")
+    similarity.ivfpq_build(emb, path, n_cells=4, m=4, n_codes=16, n_iter=1)
+    # synthesize external queries = perturbed copies of corpus vectors
+    src = {r.vec_id: [float(x) for x in r.embedding]
+           for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()}
+    ext = [(1000 + vid, [x + 0.01 for x in v]) for vid, v in src.items()]
+    queries = spark.createDataFrame(ext, "vec_id long, embedding array<double>")
+    got = similarity.ivfpq_search(spark, path, queries, k=3, nprobe=2).collect()
+    assert {r.query_vec_id for r in got} == {1000, 1001, 1002}
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_vec_id, []).append(r)
+    for qid, rows in per_q.items():
+        assert len(rows) == 3
+        assert sorted(r.rank for r in rows) == [1, 2, 3]
+        # a tiny perturbation of vector v keeps v itself in the top-3
+        assert (qid - 1000) in {r.vec_id for r in rows}
