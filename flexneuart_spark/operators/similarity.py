@@ -677,6 +677,74 @@ def ivfpq_residuals(
     )
 
 
+def _adc_rank(
+    codes: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    qe: DataFrame,
+    probes: DataFrame,
+    m: int,
+    dsub: int,
+    k: int,
+    id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVFADC scoring tail (used by :func:`ivfpq_topk` and
+    :func:`ivfpq_search` — ONE copy of the reconstruction-cosine
+    formula). Inputs: ``codes`` (id, sub, code, cell) — the corpus-sized
+    table; ``probes`` (query_vec_id, cell); ``qe`` (query_vec_id, qv,
+    qn). Builds the broadcast-sized LUTs (ccw: n_cells·m·n_codes; qlut:
+    |queries|·m·n_codes; qdotc: |queries|·nprobe) and ranks
+
+        cos(q, x̂) = (q·c + Σ_sub q_sub·cw) /
+                    (|q| · sqrt(|c|² + 2·Σ c_sub·cw + Σ|cw|²))
+    """
+    csubs = cents.select(
+        "cell", "cn", F.posexplode(F.array(*_sub_slices("cv", m, dsub))).alias("sub", "csv")
+    )
+    ccw = csubs.join(F.broadcast(cb), "sub").select(
+        "cell", "sub", "code", _dot("csv", "cw").alias("cdotcw"), _dot("cw", "cw").alias("cwn2")
+    )
+    qdotc = (
+        probes.join(qe, "query_vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select("query_vec_id", "cell", _dot("qv", "cv").alias("qc"), "qn", "cn")
+    )
+    qsubs = qe.select(
+        "query_vec_id", F.posexplode(F.array(*_sub_slices("qv", m, dsub))).alias("sub", "qsv")
+    )
+    qlut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_vec_id", "sub", "code", _dot("qsv", "cw").alias("qpart")
+    )
+    persub = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qlut), ["query_vec_id", "sub", "code"])
+        .join(F.broadcast(ccw), ["cell", "sub", "code"])
+    )
+    agg = persub.groupBy("query_vec_id", F.col(id_col).alias("vec_id"), "cell").agg(
+        F.sum("qpart").alias("qrec"),
+        F.sum("cdotcw").alias("crec"),
+        F.sum("cwn2").alias("rn2"),
+    )
+    scored = agg.join(F.broadcast(qdotc), ["query_vec_id", "cell"])
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_vec_id"))
+    scored = scored.withColumn(
+        "cos_r",
+        F.round(
+            (F.col("qc") + F.col("qrec"))
+            / (F.col("qn") * F.sqrt(F.col("cn") * F.col("cn") + 2.0 * F.col("crec") + F.col("rn2"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "cos_r", "rank")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: list,
@@ -716,17 +784,14 @@ def ivfpq_topk(
     cents = _materialize_small(
         centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
     )
-    resid = ivfpq_residuals(emb, cents, id_col, vec_col, assign=assign).persist()
+    # NOT persisted: callers hold the returned lazy frame, so an eager
+    # cache here would leak for the session lifetime (the persisted
+    # serving path is ivfpq_build/ivfpq_search); the residual lineage is
+    # a narrow scan + broadcast join, cheap to recompute
+    resid = ivfpq_residuals(emb, cents, id_col, vec_col, assign=assign)
     cb = pq_train(resid, m, n_codes, n_iter, id_col, "rv", assign=assign)
     codes = pq_encode(resid, cb, m, id_col, "rv", assign=assign).join(
         resid.select(id_col, "cell"), id_col
-    )
-    # per-(cell, sub, code) centroid⊙codeword table — broadcast-sized
-    csubs = cents.select(
-        "cell", "cn", F.posexplode(F.array(*_sub_slices("cv", m, dsub))).alias("sub", "csv")
-    )
-    ccw = csubs.join(F.broadcast(cb), "sub").select(
-        "cell", "sub", "code", _dot("csv", "cw").alias("cdotcw"), _dot("cw", "cw").alias("cwn2")
     )
     qe = (
         emb.filter(F.col(id_col).isin(query_ids))
@@ -737,45 +802,7 @@ def ivfpq_topk(
         emb.filter(F.col(id_col).isin(query_ids)), id_col=id_col, vec_col=vec_col,
         nprobe=max(1, nprobe), centroids=cents, assign=assign,
     ).select(F.col(id_col).alias("query_vec_id"), "cell")
-    qdotc = (
-        probes.join(qe, "query_vec_id")
-        .join(F.broadcast(cents), "cell")
-        .select("query_vec_id", "cell", _dot("qv", "cv").alias("qc"), "qn", "cn")
-    )
-    qsubs = qe.select(
-        "query_vec_id", F.posexplode(F.array(*_sub_slices("qv", m, dsub))).alias("sub", "qsv")
-    )
-    qlut = qsubs.join(F.broadcast(cb), "sub").select(
-        "query_vec_id", "sub", "code", _dot("qsv", "cw").alias("qpart")
-    )
-    persub = (
-        codes.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(qlut), ["query_vec_id", "sub", "code"])
-        .join(F.broadcast(ccw), ["cell", "sub", "code"])
-    )
-    agg = persub.groupBy("query_vec_id", F.col(id_col).alias("vec_id"), "cell").agg(
-        F.sum("qpart").alias("qrec"),
-        F.sum("cdotcw").alias("crec"),
-        F.sum("cwn2").alias("rn2"),
-    )
-    scored = (
-        agg.join(F.broadcast(qdotc), ["query_vec_id", "cell"])
-        .filter(F.col("vec_id") != F.col("query_vec_id"))
-        .withColumn(
-            "cos_r",
-            F.round(
-                (F.col("qc") + F.col("qrec"))
-                / (F.col("qn") * F.sqrt(F.col("cn") * F.col("cn") + 2.0 * F.col("crec") + F.col("rn2"))),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_vec_id", "vec_id", "cos_r", "rank")
-    )
+    return _adc_rank(codes, cents, cb, qe, probes, m, dsub, k, id_col, exclude_self=True)
 
 
 def ivfpq_build(
@@ -840,8 +867,8 @@ def ivfpq_search(
     not corpus rows (callers with in-corpus queries filter afterwards)."""
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
     m = int(meta["m"])
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebooks")
+    cents = _materialize_small(spark.read.parquet(f"{path}/centroids"))
+    cb = _materialize_small(spark.read.parquet(f"{path}/codebooks"))
     codes = spark.read.parquet(f"{path}/codes")
     dsub = _pq_dims(queries, m, vec_col)
 
@@ -853,47 +880,15 @@ def ivfpq_search(
         "qcos", _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_vec_id").orderBy(F.desc("qcos"), F.asc("cell"))
-    probes = (
+    # materialize the query-sized probe set ONCE: probe_cells derives
+    # locally (no extra job) and the three downstream uses don't re-run
+    # the queries×centroids assignment
+    probes = _materialize_small(
         qscored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= nprobe)
-        .select("query_vec_id", "cell", _dot("qv", "cv").alias("qc"), "qn", "cn")
+        .select("query_vec_id", "cell")
     )
-    probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    probe_cells = sorted({r.cell for r in probes.collect()})
     codes = codes.filter(F.col("cell").isin(probe_cells))  # partition pruning
-
-    csubs = cents.select(
-        "cell", F.posexplode(F.array(*_sub_slices("cv", m, dsub))).alias("sub", "csv")
-    )
-    ccw = csubs.join(F.broadcast(cb), "sub").select(
-        "cell", "sub", "code", _dot("csv", "cw").alias("cdotcw"), _dot("cw", "cw").alias("cwn2")
-    )
-    qsubs = qe.select(
-        "query_vec_id", F.posexplode(F.array(*_sub_slices("qv", m, dsub))).alias("sub", "qsv")
-    )
-    qlut = qsubs.join(F.broadcast(cb), "sub").select(
-        "query_vec_id", "sub", "code", _dot("qsv", "cw").alias("qpart")
-    )
-    persub = (
-        codes.join(F.broadcast(probes.select("query_vec_id", "cell")), "cell")
-        .join(F.broadcast(qlut), ["query_vec_id", "sub", "code"])
-        .join(F.broadcast(ccw), ["cell", "sub", "code"])
-    )
-    agg = persub.groupBy("query_vec_id", F.col(meta["id_col"]).alias("vec_id"), "cell").agg(
-        F.sum("qpart").alias("qrec"),
-        F.sum("cdotcw").alias("crec"),
-        F.sum("cwn2").alias("rn2"),
-    )
-    scored = agg.join(F.broadcast(probes), ["query_vec_id", "cell"]).withColumn(
-        "cos_r",
-        F.round(
-            (F.col("qc") + F.col("qrec"))
-            / (F.col("qn") * F.sqrt(F.col("cn") * F.col("cn") + 2.0 * F.col("crec") + F.col("rn2"))),
-            6,
-        ),
-    )
-    w2 = Window.partitionBy("query_vec_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_vec_id", "vec_id", "cos_r", "rank")
-    )
+    codes = codes.select(F.col(meta["id_col"]), "sub", "code", "cell")
+    return _adc_rank(codes, cents, cb, qe, probes, m, dsub, k, meta["id_col"], exclude_self=False)
