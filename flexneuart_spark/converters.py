@@ -34,6 +34,9 @@ documented T1 stand-in — see ``tests/test_lemma_divergence.py``).
 
 from __future__ import annotations
 
+import re
+import xml.etree.ElementTree as ET
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -235,6 +238,211 @@ def _parse_cranfield_record(rec: str) -> tuple:
         text_raw,
         skipped,
     )
+
+
+# ---------------------------------------------------------------------------
+# Yahoo Answers
+# ---------------------------------------------------------------------------
+
+# reference: scripts/data_convert/yahoo_answers/convert_yahoo_answers.py
+# over text_proc/formats.py:30-70 (proc_yahoo_answers_record) and the
+# SimpleXmlRecIterator container scan (formats.py:73-115). The
+# collection-splitting step (YahooAnswersCollectionSplitter.java) is the
+# S8 operator (`plans/entries_ops.collection_split`).
+
+MAX_RELEV_GRADE = 4  # flexneuart/config.py:86
+
+_YA_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("best_answer_id", T.IntegerType()),
+        T.StructField("answers", T.ArrayType(T.StringType())),
+        # per-record parse failure (reference: caught + skipped with a
+        # printed message, convert_yahoo_answers.py:163-164); kept as a
+        # column so callers can count/audit instead of losing rows silently
+        T.StructField("parse_error", T.StringType()),
+    ]
+)
+
+_TAG_RE = re.compile(r"</?[a-z]+\s*/?>")  # clean.py:23-25
+_BARE_AMP_RE = re.compile(r"&(?!#?\w+;)")
+
+
+def remove_tags(s: str) -> str:
+    """``text_proc/clean.py:23-25``: drop anything that looks like a tag
+    (after entity unescaping, Yahoo bodies carry literal ``<br/>`` etc.)."""
+    return _TAG_RE.sub("", s)
+
+
+def parse_yahoo_answers_record(rec_str: str) -> tuple:
+    """One ``<document>...</document>`` record → (uri, subject, content,
+    best_answer_id, answers, parse_error), mirroring
+    ``proc_yahoo_answers_record`` (formats.py:30-70): uri/subject
+    required, content/bestanswer optional, ``best_answer_id`` = index of
+    the first ``answer_item`` whose RAW text equals ``bestanswer``
+    (compared before tag removal), else -1; subject/content/answers get
+    ``remove_tags``. Delta vs the reference: ElementTree instead of
+    BeautifulSoup-lxml, with bare ``&`` pre-escaped — strictly-broken
+    markup becomes a ``parse_error`` row rather than a lenient guess."""
+    try:
+        root = ET.fromstring(_BARE_AMP_RE.sub("&amp;", rec_str))
+        by_tag = {child.tag.lower(): child for child in root.iter()}
+        uri_el = by_tag.get("uri")
+        if uri_el is None:
+            raise ValueError("Invalid format, missing <uri> tag")
+        subj_el = by_tag.get("subject")
+        if subj_el is None:
+            raise ValueError("Invalid format, missing <subject> tag")
+        text_of = lambda el: "".join(el.itertext())  # noqa: E731  (bs4 .text)
+        content_el = by_tag.get("content")
+        best_el = by_tag.get("bestanswer")
+        best_raw = "" if best_el is None else text_of(best_el)
+        answers: list[str] = []
+        best_id = -1
+        nbest = by_tag.get("nbestanswers")
+        if nbest is not None:
+            for item in nbest.iter("answer_item"):
+                raw = text_of(item)
+                if raw == best_raw:
+                    best_id = len(answers)
+                answers.append(remove_tags(raw))
+        return (
+            text_of(uri_el),
+            remove_tags(text_of(subj_el)).strip(),
+            "" if content_el is None else remove_tags(text_of(content_el)).strip(),
+            best_id,
+            answers,
+            None,
+        )
+    except Exception as e:  # the reference skips the record (line 163)
+        return (None, None, None, None, None, str(e))
+
+
+def read_yahoo_answers(spark, path: str) -> DataFrame:
+    """Yahoo Answers container file (series of ``<document>`` records,
+    optionally .gz/.bz2) → parsed frame ``(uri, subject, content,
+    best_answer_id, answers, parse_error)``. JVM-side record split on the
+    closing tag (the splittable ``lineSep`` scan — no whole-file
+    buffering), per-record parse Arrow-batched. Records that fail to
+    parse surface as ``parse_error`` rows (the downstream converters drop
+    them, like the reference's per-record try/except)."""
+    frags = (
+        spark.read.text(path, lineSep="</document>")
+        .where(F.instr("value", "<document") > 0)
+        .select((F.concat(F.col("value"), F.lit("</document>"))).alias("rec"))
+    )
+
+    @F.pandas_udf(_YA_SCHEMA)
+    def _parse(s: pd.Series) -> pd.DataFrame:
+        # slice off anything before the opening tag (inter-record noise)
+        recs = [r[r.index("<document") :] for r in s]
+        return pd.DataFrame(
+            [parse_yahoo_answers_record(r) for r in recs], columns=_YA_SCHEMA.names
+        )
+
+    return frags.select(_parse("rec").alias("e")).select("e.*")
+
+
+def _ya_valid(parsed: DataFrame) -> DataFrame:
+    """Parse-clean records with ≥1 answer (questions without answers are
+    ignored, convert_yahoo_answers.py:99-100)."""
+    return parsed.where(F.col("parse_error").isNull() & (F.size("answers") > 0))
+
+
+def yahoo_answers_questions(
+    parsed: DataFrame,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    bert_vocab: list[str] | None = None,
+) -> DataFrame:
+    """Question entries (convert_yahoo_answers.py:102-121): DOCNO=uri,
+    ``text_raw`` = ``(subject + ' ' + content).strip()``, ``text`` its
+    lemmas, ``text_unlemm`` its kept surface tokens."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    base = _ya_valid(parsed).select(
+        F.col("uri").alias(DOCID_FIELD),
+        F.trim(F.concat_ws(" ", "subject", "content")).alias(TEXT_RAW_FIELD),
+    )
+    proc = base.withColumn("_p", _proc(F.col(TEXT_RAW_FIELD), dictionary, stops))
+    out = proc.select(
+        DOCID_FIELD,
+        F.col("_p.lemmas").alias(TEXT_FIELD),
+        F.col("_p.tokens").alias(TEXT_UNLEMM_FIELD),
+        TEXT_RAW_FIELD,
+    )
+    return _with_bert(out, bert_vocab)
+
+
+def _ya_answer_rows(parsed: DataFrame) -> DataFrame:
+    """(uri, best_answer_id, pos, answer) — one row per answer."""
+    return _ya_valid(parsed).select(
+        "uri", "best_answer_id", F.posexplode("answers").alias("pos", "_a")
+    )
+
+
+def yahoo_answers_answers(
+    parsed: DataFrame,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    bert_vocab: list[str] | None = None,
+) -> DataFrame:
+    """Answer entries (convert_yahoo_answers.py:123-144): DOCNO =
+    ``{uri}-{i}`` in answer-list order."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    base = _ya_answer_rows(parsed).select(
+        F.concat_ws("-", "uri", "pos").alias(DOCID_FIELD), F.col("_a").alias(TEXT_RAW_FIELD)
+    )
+    proc = base.withColumn("_p", _proc(F.col(TEXT_RAW_FIELD), dictionary, stops))
+    out = proc.select(
+        DOCID_FIELD,
+        F.col("_p.lemmas").alias(TEXT_FIELD),
+        F.col("_p.tokens").alias(TEXT_UNLEMM_FIELD),
+        TEXT_RAW_FIELD,
+    )
+    return _with_bert(out, bert_vocab)
+
+
+def yahoo_answers_qrels(parsed: DataFrame) -> DataFrame:
+    """(query_id, doc_id, grade): the best answer gets
+    ``MAX_RELEV_GRADE`` (4), every other answer 3
+    (convert_yahoo_answers.py:146-147); write with ``io/trec.py``."""
+    return _ya_answer_rows(parsed).select(
+        F.col("uri").alias("query_id"),
+        F.concat_ws("-", "uri", "pos").alias("doc_id"),
+        (F.lit(MAX_RELEV_GRADE) - (F.col("pos") != F.col("best_answer_id")).cast("int")).alias(
+            "grade"
+        ),
+    )
+
+
+def yahoo_answers_bitext(
+    parsed: DataFrame,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+) -> DataFrame:
+    """Question↔answer parallel lines for MGIZA-style Model 1 training
+    (convert_yahoo_answers.py:149-154): one row per (answer, field),
+    field ∈ {text, text_unlemm}. Mirrors the reference's quirk of
+    writing the LEMMA line into the ``text_unlemm`` bitext files too
+    (lines 150-151/153-154 both write ``*_lemmas``)."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    q = _ya_valid(parsed).select(
+        "uri", F.trim(F.concat_ws(" ", "subject", "content")).alias("_q")
+    )
+    q = q.withColumn("quest", _proc(F.col("_q"), dictionary, stops)["lemmas"]).select(
+        "uri", "quest"
+    )
+    a = _ya_answer_rows(parsed).withColumn(
+        "answ", _proc(F.col("_a"), dictionary, stops)["lemmas"]
+    )
+    pairs = a.join(q, "uri").select("uri", "pos", "quest", "answ")
+    fields = F.explode(F.array(F.lit(TEXT_FIELD), F.lit(TEXT_UNLEMM_FIELD))).alias("field")
+    return pairs.select("uri", "pos", fields, "quest", "answ")
 
 
 def read_cranfield(spark, path: str) -> DataFrame:

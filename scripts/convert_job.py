@@ -20,7 +20,13 @@ from __future__ import annotations
 import argparse
 import sys
 
-FORMATS = ["msmarco_docs", "msmarco_queries", "tsv_queries_krovetz", "cranfield"]
+FORMATS = [
+    "msmarco_docs",
+    "msmarco_queries",
+    "tsv_queries_krovetz",
+    "cranfield",
+    "yahoo_answers",
+]
 
 
 def _read_words(path: str | None) -> list[str]:
@@ -54,6 +60,25 @@ def main() -> None:
         from flexneuart_spark.functions.wordpiece import load_vocab
 
         bert_vocab = load_vocab(args.bert_vocab)
+
+    if args.format == "yahoo_answers":
+        # four outputs under --output, mirroring the reference worker's
+        # question/answer/qrel/bitext files (convert_yahoo_answers.py)
+        parsed = C.read_yahoo_answers(spark, args.input)
+        n_bad = parsed.where(parsed.parse_error.isNotNull()).count()
+        for sub, df in (
+            ("question_entries", C.yahoo_answers_questions(parsed, stop_words=stops, bert_vocab=bert_vocab)),
+            ("answer_entries", C.yahoo_answers_answers(parsed, stop_words=stops, bert_vocab=bert_vocab)),
+            ("qrels", C.yahoo_answers_qrels(parsed)),
+            ("bitext", C.yahoo_answers_bitext(parsed, stop_words=stops)),
+        ):
+            df.write.mode("overwrite").parquet(f"{args.output}/{sub}")
+            n = spark.read.parquet(f"{args.output}/{sub}").count()
+            print(f"converted {n} yahoo_answers {sub} rows to {args.output}/{sub}")
+        if n_bad:
+            print(f"WARNING: {n_bad} records failed to parse and were skipped")
+        spark.stop()
+        return
 
     if args.format == "cranfield":
         out = C.cranfield_docs(

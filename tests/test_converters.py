@@ -174,3 +174,130 @@ def test_cranfield_counts_skipped_prefix_lines(spark, tmp_path):
     assert row["n_skipped_lines"] == 1
     assert row["title"] == "a title"
     assert row["body"] == "body text"
+
+
+# ---------------------------------------------------------------------------
+# Yahoo Answers (convert_yahoo_answers.py + formats.py proc_yahoo_answers_record)
+# ---------------------------------------------------------------------------
+
+YA_RAW = """<document>
+<uri>q100</uri>
+<subject>Why do cats &lt;b&gt;run&lt;/b&gt; so fast?</subject>
+<content>My cat keeps running &amp; jumping.</content>
+<bestanswer>Because they are hunters.</bestanswer>
+<nbestanswers>
+<answer_item>They just like it.</answer_item>
+<answer_item>Because they are hunters.</answer_item>
+</nbestanswers>
+</document>
+<document>
+<uri>q101</uri>
+<subject>No answers here?</subject>
+<content>this question has no answers</content>
+</document>
+<document>
+<uri>q102</uri>
+<subject>Missing content tag</subject>
+<nbestanswers>
+<answer_item>single answer &amp; that's it</answer_item>
+</nbestanswers>
+</document>
+<document>
+<subject>record without a uri is skipped</subject>
+</document>
+"""
+
+
+def _ya_reference_mirror():
+    """The reference worker's per-record outputs over YA_RAW, built by
+    hand from convert_yahoo_answers.py:94-147 semantics: skip questions
+    with no answers, question text_raw = (subject + ' ' + content).strip()
+    after remove_tags, answer DOCNO = uri-i, best answer grade 4 / others
+    3 (best matched on the RAW pre-remove_tags text)."""
+    q100 = "Why do cats run so fast? My cat keeps running & jumping."
+    q102 = "Missing content tag"
+    questions = {"q100": q100, "q102": q102}  # q101: 0 answers -> ignored
+    answers = {
+        "q100-0": "They just like it.",
+        "q100-1": "Because they are hunters.",
+        "q102-0": "single answer & that's it",
+    }
+    qrels = {("q100", "q100-0"): 3, ("q100", "q100-1"): 4, ("q102", "q102-0"): 3}
+    return questions, answers, qrels
+
+
+def test_yahoo_parse_records(spark, tmp_path):
+    p = tmp_path / "ya.xml"
+    p.write_text(YA_RAW)
+    rows = {r.uri: r.asDict() for r in C.read_yahoo_answers(spark, str(p)).collect()}
+    assert rows["q100"]["subject"] == "Why do cats run so fast?"  # tags removed
+    assert rows["q100"]["content"] == "My cat keeps running & jumping."
+    assert rows["q100"]["best_answer_id"] == 1
+    assert rows["q100"]["answers"] == [
+        "They just like it.",
+        "Because they are hunters.",
+    ]
+    assert rows["q101"]["answers"] == []
+    assert rows["q102"]["content"] == ""  # missing <content> -> '' (formats.py:53)
+    assert rows["q102"]["best_answer_id"] == -1  # no <bestanswer>
+    errs = [r for r in rows.values() if r["parse_error"]]
+    assert len(errs) == 1 and "uri" in errs[0]["parse_error"]
+
+
+def test_yahoo_questions_answers_qrels_match_reference(spark, tmp_path):
+    p = tmp_path / "ya.xml"
+    p.write_text(YA_RAW)
+    parsed = C.read_yahoo_answers(spark, str(p))
+    want_q, want_a, want_qrel = _ya_reference_mirror()
+
+    got_q = {r[C.DOCID_FIELD]: r.asDict() for r in C.yahoo_answers_questions(parsed, DICT, STOPS).collect()}
+    assert set(got_q) == set(want_q)
+    for qid, raw in want_q.items():
+        lem, unlemm = _proc_text(raw)
+        assert got_q[qid]["text_raw"] == raw
+        assert got_q[qid]["text"] == lem
+        assert got_q[qid]["text_unlemm"] == unlemm
+
+    got_a = {r[C.DOCID_FIELD]: r.asDict() for r in C.yahoo_answers_answers(parsed, DICT, STOPS).collect()}
+    assert set(got_a) == set(want_a)
+    for aid, raw in want_a.items():
+        lem, unlemm = _proc_text(raw)
+        assert got_a[aid]["text_raw"] == raw
+        assert got_a[aid]["text"] == lem
+        assert got_a[aid]["text_unlemm"] == unlemm
+
+    got_qrel = {(r.query_id, r.doc_id): r.grade for r in C.yahoo_answers_qrels(parsed).collect()}
+    assert got_qrel == want_qrel
+
+
+def test_yahoo_bitext_pairs(spark, tmp_path):
+    p = tmp_path / "ya.xml"
+    p.write_text(YA_RAW)
+    parsed = C.read_yahoo_answers(spark, str(p))
+    rows = C.yahoo_answers_bitext(parsed, DICT, STOPS).collect()
+    # 3 answers x 2 fields; the reference writes the LEMMA line to both
+    # the text and text_unlemm bitext files (its lines 149-154)
+    assert len(rows) == 6
+    q_lem, _ = _proc_text("Why do cats run so fast? My cat keeps running & jumping.")
+    a0_lem, _ = _proc_text("They just like it.")
+    by_key = {(r.uri, r.pos, r.field): (r.quest, r.answ) for r in rows}
+    assert by_key[("q100", 0, "text")] == (q_lem, a0_lem)
+    assert by_key[("q100", 0, "text_unlemm")] == (q_lem, a0_lem)
+    assert set(r.field for r in rows) == {"text", "text_unlemm"}
+
+
+def test_yahoo_best_answer_empty_match_quirk(spark, tmp_path):
+    """No <bestanswer> means best_answer='' — an EMPTY answer_item then
+    matches it (reference formats.py:56,65), so the grade-4 row can land
+    on an empty answer. Pinned so the quirk is explicit."""
+    raw = (
+        "<document>\n<uri>z1</uri>\n<subject>s</subject>\n"
+        "<nbestanswers><answer_item></answer_item>"
+        "<answer_item>real text</answer_item></nbestanswers>\n</document>\n"
+    )
+    p = tmp_path / "ya2.xml"
+    p.write_text(raw)
+    parsed = C.read_yahoo_answers(spark, str(p))
+    assert parsed.collect()[0].best_answer_id == 0
+    grades = {r.doc_id: r.grade for r in C.yahoo_answers_qrels(parsed).collect()}
+    assert grades == {"z1-0": 4, "z1-1": 3}

@@ -139,3 +139,43 @@ def test_spark_submit_convert_job(tmp_path):
     assert t.loc["q1", "text_raw"] == "the running cats were faster"
     assert "run" in t.loc["q1", "text"].split()  # lemmatized, 'the' stopped
     assert "the" not in t.loc["q1", "text"].split()
+
+
+def test_spark_submit_yahoo_answers_job(tmp_path):
+    """convert_job.py --format yahoo_answers from the shipped zip: the
+    container XML -> question/answer/qrel/bitext parquet outputs."""
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    raw = tmp_path / "ya.xml"
+    raw.write_text(
+        "<document>\n<uri>q1</uri>\n<subject>fast cats</subject>\n"
+        "<content>why so fast</content>\n"
+        "<bestanswer>they hunt</bestanswer>\n"
+        "<nbestanswers><answer_item>they hunt</answer_item>"
+        "<answer_item>genes</answer_item></nbestanswers>\n</document>\n"
+        "<document>\n<uri>q2</uri>\n<subject>no answers</subject>\n</document>\n"
+    )
+    out_dir = str(tmp_path / "out")
+    stdout = _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "convert_job.py"),
+            "--format", "yahoo_answers",
+            "--input", str(raw),
+            "--output", out_dir,
+        ],
+        cwd=ROOT,
+    )
+    assert "converted 1 yahoo_answers question_entries rows" in stdout
+    assert "converted 2 yahoo_answers answer_entries rows" in stdout
+    assert "converted 2 yahoo_answers qrels rows" in stdout
+    assert "converted 4 yahoo_answers bitext rows" in stdout
+    import pyarrow.parquet as pq
+
+    qrels = pq.read_table(f"{out_dir}/qrels").to_pandas().set_index("doc_id")
+    assert qrels.loc["q1-0", "grade"] == 4 and qrels.loc["q1-1", "grade"] == 3
