@@ -34,6 +34,7 @@ documented T1 stand-in — see ``tests/test_lemma_divergence.py``).
 
 from __future__ import annotations
 
+import json
 import re
 import xml.etree.ElementTree as ET
 
@@ -45,7 +46,7 @@ from pyspark.sql import types as T
 from flexneuart_spark.config import MAX_DOC_SIZE
 from flexneuart_spark.functions.kstem import krovetz_stem_col
 from flexneuart_spark.functions.lemma import lemma_pair_col, load_lemma_dict
-from flexneuart_spark.functions.textproc import pretokenize_url_col
+from flexneuart_spark.functions.textproc import pretokenize_url_col, sentencize_col
 from flexneuart_spark.functions.wordpiece import bert_tok_col
 
 # reference field names (flexneuart/config.py:66-75)
@@ -238,6 +239,259 @@ def _parse_cranfield_record(rec: str) -> tuple:
         text_raw,
         skipped,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wikipedia DPR (facebookresearch/DPR data)
+# ---------------------------------------------------------------------------
+
+# reference: scripts/data_convert/wikipedia_dpr/convert_pass.py (3-field
+# TSV passages) and convert_queries.py over
+# flexneuart/data_convert/wikipedia_dpr/utils.py (streaming JSON-array
+# reader, psg_id/passage_id key normalization).
+
+ANSWER_LIST_FIELD = "answer_list"  # flexneuart/config.py
+TITLE_RAW_FIELD = "title_raw"
+
+
+def dpr_passages(
+    lines: DataFrame,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    passage_ids: list[str] | None = None,
+    bert_vocab: list[str] | None = None,
+) -> DataFrame:
+    """DPR passage TSV (id, text, title) → entry frame
+    (convert_pass.py:84-119): ``text`` = title lemmas + ' ' + passage
+    lemmas, ``text_raw`` = raw title + ' ' + raw text; the ``id text
+    title`` header row is skipped; an optional passage-id subset filter
+    mirrors ``--passage_ids``. Delta vs the reference worker: a
+    misformatted line is DROPPED (our converters' convention) where the
+    reference asserts and kills the whole run (convert_pass.py:99)."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    f = F.split(F.col("value"), "\t", -1)
+    base = (
+        lines.where(F.trim("value") != "")
+        .select(f.alias("f"))
+        .where(F.size("f") == 3)
+        .where(F.concat_ws(" ", "f") != "id text title")  # header (line 96)
+        .select(
+            F.col("f")[0].alias(DOCID_FIELD),
+            F.col("f")[1].alias("_text"),
+            F.col("f")[2].alias("_title"),
+        )
+    )
+    if passage_ids is not None:
+        # driver-sized subsets broadcast through isin; join a DataFrame
+        # of ids instead when the subset itself is corpus-scale
+        base = base.where(F.col(DOCID_FIELD).isin(list(passage_ids)))
+    proc = base.withColumn("_t", _proc(F.col("_title"), dictionary, stops)).withColumn(
+        "_b", _proc(F.col("_text"), dictionary, stops)
+    )
+    out = proc.select(
+        DOCID_FIELD,
+        F.concat_ws(" ", "_t.lemmas", "_b.lemmas").alias(TEXT_FIELD),
+        F.col("_t.tokens").alias(TITLE_UNLEMM_FIELD),
+        F.col("_b.tokens").alias(TEXT_UNLEMM_FIELD),
+        F.concat_ws(" ", "_title", "_text").alias(TEXT_RAW_FIELD),
+    )
+    return _with_bert(out, bert_vocab)
+
+
+_DPR_CTX = T.StructType(
+    [
+        T.StructField("passage_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_DPR_SCHEMA = T.StructType(
+    [
+        T.StructField("qid_idx", T.LongType()),
+        T.StructField("question", T.StringType()),
+        T.StructField("answers", T.ArrayType(T.StringType())),
+        T.StructField("positive_ctxs", T.ArrayType(_DPR_CTX)),
+        T.StructField("negative_ids", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _norm_psg_id(entry: dict) -> str:
+    """utils.py:19-29: some DPR dumps key the passage id ``psg_id``,
+    others ``passage_id``."""
+    for key in ("psg_id", "passage_id"):
+        if key in entry:
+            return str(entry[key])
+    raise ValueError("No passage keys in the entry")
+
+
+def read_dpr_queries(spark, path: str) -> DataFrame:
+    """DPR raw query JSON (one pretty-printed array per file) → one row
+    per question: (qid_idx, question, answers, positive_ctxs,
+    negative_ids). ``qid_idx`` is the question's position within its
+    file — the reference's ``enumerate(dpr_json_reader(...))`` counter
+    that the query id is minted from, so it must follow FILE order, not
+    partition order; each file is one (small) row of a ``wholetext``
+    scan and the array parse runs Arrow-batched. Passage-scale data
+    stays in ``dpr_passages``; query files are driver-sized."""
+    raw = spark.read.text(path, wholetext=True)
+
+    @F.pandas_udf(T.ArrayType(_DPR_SCHEMA))
+    def _parse(texts: pd.Series) -> pd.Series:
+        def one(txt: str) -> list:
+            out = []
+            for i, rec in enumerate(json.loads(txt)):
+                out.append(
+                    (
+                        i,
+                        rec["question"],
+                        [str(a) for a in rec.get("answers", [])],
+                        [
+                            (_norm_psg_id(c), c.get("title"), c.get("text"))
+                            for c in rec.get("positive_ctxs", [])
+                        ],
+                        [_norm_psg_id(c) for c in rec.get("negative_ctxs", [])],
+                    )
+                )
+            return out
+
+        return texts.map(one)
+
+    return raw.select(F.explode(_parse("value")).alias("e")).select("e.*")
+
+
+def dpr_queries(
+    parsed: DataFrame,
+    part_type: str,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    min_query_tok_qty: int = 0,
+    bert_vocab: list[str] | None = None,
+) -> DataFrame:
+    """DPR query entries (convert_queries.py:108-131): DOCNO =
+    ``{part_type}_{qid_idx}`` (dropped-too-short queries still consume
+    their index — the reference enumerates before filtering), ``text``
+    the question lemmas, plus the raw ``answer_list``."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    proc = parsed.withColumn("_p", _proc(F.col("question"), dictionary, stops))
+    out = proc.select(
+        F.concat_ws("_", F.lit(part_type), "qid_idx").alias(DOCID_FIELD),
+        F.col("_p.lemmas").alias(TEXT_FIELD),
+        F.col("_p.tokens").alias(TEXT_UNLEMM_FIELD),
+        F.col("question").alias(TEXT_RAW_FIELD),
+        F.col("answers").alias(ANSWER_LIST_FIELD),
+    ).where(
+        F.size(F.filter(F.split(TEXT_FIELD, r"\s+"), lambda s: s != F.lit("")))
+        >= min_query_tok_qty
+    )
+    return _with_bert(out, bert_vocab)
+
+
+def dpr_qrels(
+    parsed: DataFrame,
+    part_type: str,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    min_query_tok_qty: int = 0,
+    use_precomputed_negatives: bool = False,
+) -> DataFrame:
+    """(query_id, doc_id, grade): positives grade 1, precomputed
+    negatives grade 0 when enabled (convert_queries.py:133-176); only
+    queries that survive the min-token filter contribute (the reference
+    adds qrels inside the kept-query branch). Duplicate (qid, did) pairs
+    collapse to one row via max(grade) — the reference's
+    ``add_qrel_entry`` ignores exact repeats and a positive should win
+    over a negative duplicate."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    kept = parsed.withColumn("_p", _proc(F.col("question"), dictionary, stops)).where(
+        F.size(F.filter(F.split("_p.lemmas", r"\s+"), lambda s: s != F.lit("")))
+        >= min_query_tok_qty
+    )
+    qid = F.concat_ws("_", F.lit(part_type), "qid_idx")
+    pos = kept.select(
+        qid.alias("query_id"),
+        F.explode("positive_ctxs").alias("_c"),
+    ).select("query_id", F.col("_c.passage_id").alias("doc_id"), F.lit(1).alias("grade"))
+    if not use_precomputed_negatives:
+        out = pos
+    else:
+        neg = kept.select(qid.alias("query_id"), F.explode("negative_ids").alias("doc_id")).select(
+            "query_id", "doc_id", F.lit(0).alias("grade")
+        )
+        out = pos.unionByName(neg)
+    return out.groupBy("query_id", "doc_id").agg(F.max("grade").alias("grade"))
+
+
+def dpr_bitext(
+    parsed: DataFrame,
+    part_type: str,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    min_query_tok_qty: int = 0,
+) -> DataFrame:
+    """Question↔context parallel lines (convert_queries.py:136-169), one
+    row per pair: field ``title_unlemm`` pairs the query's surface tokens
+    with a positive context's title tokens (skipped when the title is
+    empty); fields ``text``/``text_unlemm`` pair the query with each
+    positive-context SENTENCE whose lowercased text contains one of the
+    answers (the reference's substring check, including its documented
+    false-positive tolerance)."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    kept = parsed.withColumn("_q", _proc(F.col("question"), dictionary, stops)).where(
+        F.size(F.filter(F.split("_q.lemmas", r"\s+"), lambda s: s != F.lit("")))
+        >= min_query_tok_qty
+    )
+    qid = F.concat_ws("_", F.lit(part_type), "qid_idx")
+    ctx = kept.select(
+        qid.alias("query_id"),
+        F.col("_q.lemmas").alias("_qlem"),
+        F.col("_q.tokens").alias("_qtok"),
+        F.col("answers"),
+        F.explode("positive_ctxs").alias("_c"),
+    )
+    # title pairs: query tokens <-> title tokens, nonempty titles only
+    titles = ctx.where(F.coalesce(F.col("_c.title"), F.lit("")) != "").select(
+        "query_id",
+        F.lit(TITLE_UNLEMM_FIELD).alias("field"),
+        F.col("_qtok").alias("quest"),
+        _proc(F.col("_c.title"), dictionary, stops)["tokens"].alias("answ"),
+    )
+    # sentence pairs: sentences of the positive context containing an answer
+    sents = ctx.select(
+        "query_id",
+        "_qlem",
+        "_qtok",
+        "answers",
+        F.explode(sentencize_col(F.col("_c.text"))).alias("_sent"),
+    ).where(
+        F.exists(
+            "answers", lambda a: F.instr(F.lower(F.col("_sent")), F.lower(a)) > 0
+        )
+    )
+    sents = sents.withColumn("_s", _proc(F.col("_sent"), dictionary, stops))
+    sent_pairs = sents.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(TEXT_FIELD).alias("field"),
+                    F.col("_qlem").alias("quest"),
+                    F.col("_s.lemmas").alias("answ"),
+                ),
+                F.struct(
+                    F.lit(TEXT_UNLEMM_FIELD).alias("field"),
+                    F.col("_qtok").alias("quest"),
+                    F.col("_s.tokens").alias("answ"),
+                ),
+            )
+        ).alias("p"),
+    ).select("query_id", "p.field", "p.quest", "p.answ")
+    return titles.unionByName(sent_pairs)
 
 
 # ---------------------------------------------------------------------------

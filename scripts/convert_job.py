@@ -11,8 +11,11 @@
 
 Formats: msmarco_docs (4-field TSV), msmarco_queries (2-field TSV),
 tsv_queries_krovetz (2-field TSV, Krovetz stem), cranfield
-(``.I``-record file). Raw inputs may be .gz/.bz2 — Spark's text reader
-decompresses natively.
+(``.I``-record file), yahoo_answers (series-of-XML container →
+question/answer/qrel/bitext outputs), dpr_passages (3-field TSV),
+dpr_queries (DPR JSON array → query/qrel/bitext outputs). Raw inputs
+may be .gz/.bz2 and multi-file globs — Spark's text reader
+decompresses and fans out natively.
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ FORMATS = [
     "tsv_queries_krovetz",
     "cranfield",
     "yahoo_answers",
+    "dpr_passages",
+    "dpr_queries",
 ]
 
 
@@ -46,6 +51,12 @@ def main() -> None:
     ap.add_argument("--bert-vocab", default=None, help="WordPiece vocab file; adds text_bert_tok")
     ap.add_argument("--min-query-tokens", type=int, default=0)
     ap.add_argument("--max-doc-size", type=int, default=None)
+    ap.add_argument("--part-type", default="dev", help="dpr_queries: query-id prefix")
+    ap.add_argument("--passage-ids", default=None, help="dpr_passages: id-subset file, one per line")
+    ap.add_argument(
+        "--use-precomputed-negatives", action="store_true",
+        help="dpr_queries: also emit grade-0 qrels from negative_ctxs",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +71,24 @@ def main() -> None:
         from flexneuart_spark.functions.wordpiece import load_vocab
 
         bert_vocab = load_vocab(args.bert_vocab)
+
+    if args.format == "dpr_queries":
+        parsed = C.read_dpr_queries(spark, args.input)
+        for sub, df in (
+            ("query_entries", C.dpr_queries(parsed, args.part_type, stop_words=stops,
+                                            min_query_tok_qty=args.min_query_tokens,
+                                            bert_vocab=bert_vocab)),
+            ("qrels", C.dpr_qrels(parsed, args.part_type, stop_words=stops,
+                                  min_query_tok_qty=args.min_query_tokens,
+                                  use_precomputed_negatives=args.use_precomputed_negatives)),
+            ("bitext", C.dpr_bitext(parsed, args.part_type, stop_words=stops,
+                                    min_query_tok_qty=args.min_query_tokens)),
+        ):
+            df.write.mode("overwrite").parquet(f"{args.output}/{sub}")
+            n = spark.read.parquet(f"{args.output}/{sub}").count()
+            print(f"converted {n} dpr_queries {sub} rows to {args.output}/{sub}")
+        spark.stop()
+        return
 
     if args.format == "yahoo_answers":
         # four outputs under --output, mirroring the reference worker's
@@ -86,7 +115,15 @@ def main() -> None:
         )
     else:
         lines = spark.read.text(args.input)
-        if args.format == "msmarco_docs":
+        if args.format == "dpr_passages":
+            pass_ids = None
+            if args.passage_ids:
+                with open(args.passage_ids, encoding="utf-8") as f:
+                    pass_ids = [line.strip() for line in f if line.strip()]
+            out = C.dpr_passages(
+                lines, stop_words=stops, passage_ids=pass_ids, bert_vocab=bert_vocab
+            )
+        elif args.format == "msmarco_docs":
             out = C.msmarco_docs(
                 lines,
                 stop_words=stops,

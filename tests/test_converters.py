@@ -301,3 +301,121 @@ def test_yahoo_best_answer_empty_match_quirk(spark, tmp_path):
     assert parsed.collect()[0].best_answer_id == 0
     grades = {r.doc_id: r.grade for r in C.yahoo_answers_qrels(parsed).collect()}
     assert grades == {"z1-0": 4, "z1-1": 3}
+
+
+# ---------------------------------------------------------------------------
+# Wikipedia DPR (convert_pass.py worker + convert_queries.py loop)
+# ---------------------------------------------------------------------------
+
+DPR_PASS_LINES = [
+    "id\ttext\ttitle",  # header -> skipped (convert_pass.py:96)
+    "18\tAaron the brother appears as the first high priest.\tAaron",
+    "19\tThe cats were running fast.\tCats",
+    "bad\tonly-two-fields",
+]
+
+DPR_QUERIES_JSON = """[
+  {
+    "question": "who is the brother of moses",
+    "answers": ["Aaron"],
+    "positive_ctxs": [
+      {
+        "title": "Aaron",
+        "text": "Some intro sentence. Aaron the brother appears as the first high priest. Unrelated tail.",
+        "psg_id": 18
+      }
+    ],
+    "negative_ctxs": [
+      { "passage_id": "99", "title": "x", "text": "y" }
+    ]
+  },
+  {
+    "question": "the",
+    "answers": ["nothing"],
+    "positive_ctxs": [ { "passage_id": "19", "title": "", "text": "no match here." } ],
+    "negative_ctxs": []
+  }
+]
+"""
+
+
+def test_dpr_passages_matches_reference_recipe(spark):
+    lines = spark.createDataFrame([(l,) for l in DPR_PASS_LINES], "value string")
+    got = {r[C.DOCID_FIELD]: r.asDict() for r in C.dpr_passages(lines, DICT, STOPS).collect()}
+    assert set(got) == {"18", "19"}  # header + misformat dropped
+    t_lem, t_unlemm = _proc_text("Aaron")
+    b_lem, b_unlemm = _proc_text("Aaron the brother appears as the first high priest.")
+    row = got["18"]
+    assert row["text"] == f"{t_lem} {b_lem}"  # title lemmas + ' ' + text lemmas
+    assert row["title_unlemm"] == t_unlemm
+    assert row["text_unlemm"] == b_unlemm
+    assert row["text_raw"] == "Aaron Aaron the brother appears as the first high priest."
+
+
+def test_dpr_passages_id_subset(spark):
+    lines = spark.createDataFrame([(l,) for l in DPR_PASS_LINES], "value string")
+    got = C.dpr_passages(lines, DICT, STOPS, passage_ids=["19"]).collect()
+    assert [r[C.DOCID_FIELD] for r in got] == ["19"]
+
+
+def test_dpr_queries_and_qrels(spark, tmp_path):
+    p = tmp_path / "nq-dev.json"
+    p.write_text(DPR_QUERIES_JSON)
+    parsed = C.read_dpr_queries(spark, str(p))
+    rows = {r.qid_idx: r.asDict() for r in parsed.collect()}
+    assert rows[0]["positive_ctxs"][0]["passage_id"] == "18"  # psg_id key + int -> str
+    assert rows[0]["negative_ids"] == ["99"]  # passage_id key
+
+    # min_query_tok_qty=1: query 1 ("the") lemmatizes to a stop -> dropped,
+    # but its INDEX is still consumed (reference enumerates then filters)
+    q = {r[C.DOCID_FIELD]: r.asDict() for r in C.dpr_queries(parsed, "dev", DICT, STOPS, min_query_tok_qty=1).collect()}
+    assert set(q) == {"dev_0"}
+    lem, unlemm = _proc_text("who is the brother of moses")
+    assert q["dev_0"]["text"] == lem
+    assert q["dev_0"]["text_unlemm"] == unlemm
+    assert q["dev_0"]["text_raw"] == "who is the brother of moses"
+    assert q["dev_0"]["answer_list"] == ["Aaron"]
+
+    # qrels: only kept queries contribute; negatives only when enabled
+    qr = {(r.query_id, r.doc_id): r.grade for r in C.dpr_qrels(parsed, "dev", DICT, STOPS, min_query_tok_qty=1).collect()}
+    assert qr == {("dev_0", "18"): 1}
+    qr_neg = {(r.query_id, r.doc_id): r.grade
+              for r in C.dpr_qrels(parsed, "dev", DICT, STOPS, min_query_tok_qty=1,
+                                   use_precomputed_negatives=True).collect()}
+    assert qr_neg == {("dev_0", "18"): 1, ("dev_0", "99"): 0}
+
+
+def test_dpr_bitext_answer_bearing_sentences(spark, tmp_path):
+    p = tmp_path / "nq-dev.json"
+    p.write_text(DPR_QUERIES_JSON)
+    parsed = C.read_dpr_queries(spark, str(p))
+    rows = C.dpr_bitext(parsed, "dev", DICT, STOPS, min_query_tok_qty=1).collect()
+    by_field = {}
+    for r in rows:
+        by_field.setdefault(r.field, []).append((r.quest, r.answ))
+    q_lem, q_unlemm = _proc_text("who is the brother of moses")
+    t_lem, t_unlemm = _proc_text("Aaron")
+    s_lem, s_unlemm = _proc_text("Aaron the brother appears as the first high priest.")
+    # title pair: query TOKENS <-> title TOKENS (convert_queries.py:137-140)
+    assert by_field["title_unlemm"] == [(q_unlemm, t_unlemm)]
+    # exactly ONE sentence of the positive ctx contains the answer "Aaron"
+    # case-insensitively -> one text pair (lemmas) + one text_unlemm pair
+    assert by_field["text"] == [(q_lem, s_lem)]
+    assert by_field["text_unlemm"] == [(q_unlemm, s_unlemm)]
+
+
+def test_dpr_passages_multifile_gz(spark, tmp_path):
+    """The realistic ingest shape: the passage TSV split across several
+    .gz part files read as one glob (the reference feeds a single 21M-row
+    psgs_w100.tsv.gz; a cluster ingest shards it)."""
+    import gzip
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    with gzip.open(d / "part0.tsv.gz", "wt") as f:
+        f.write("id\ttext\ttitle\n18\tAaron the brother.\tAaron\n")
+    with gzip.open(d / "part1.tsv.gz", "wt") as f:
+        f.write("19\tThe cats were running fast.\tCats\n20\tShear flows.\tFlow\n")
+    lines = spark.read.text(str(d / "*.tsv.gz"))
+    got = {r[C.DOCID_FIELD] for r in C.dpr_passages(lines, DICT, STOPS).collect()}
+    assert got == {"18", "19", "20"}
