@@ -76,6 +76,8 @@ def compact_segments(
     out_dir: str,
     segment_dirs: list[str] | None = None,
     num_shards: int | None = None,
+    resume: bool = False,
+    only_shards: list[int] | None = None,
 ):
     """Merge segments into ONE index (the Lucene merge analogue) WITHOUT
     re-tokenizing: reads the segments' stored forward indexes (token
@@ -86,7 +88,15 @@ def compact_segments(
 
     Cost: the postings kernel + one shuffle — the tokenizer pass (the
     other large cost at build time) is skipped entirely. Returns the new
-    ``IndexTables``; the caller swaps it in and deletes old segments."""
+    ``IndexTables``; the caller swaps it in and deletes old segments.
+
+    Crash-resume: compaction writes to a FRESH ``out_dir`` while the
+    source segments stay untouched and fully queryable, so an interrupted
+    compaction loses no data — re-running with ``resume=True`` reuses the
+    builder's per-shard lineage checkpoint (completed shards are skipped,
+    the rest rebuilt; ``index/builder.py`` resume semantics, tested in
+    ``test_resume.py``). ``only_shards`` restricts the build to a shard
+    subset — the test hook that simulates the mid-write crash."""
     from flexneuart_spark.index.builder import IndexTables
 
     segs = segment_dirs if segment_dirs is not None else list_segments(root)
@@ -98,7 +108,12 @@ def compact_segments(
             "doc_id", "tokens", "content_sha256"
         )
         union = fwd if union is None else union.unionByName(fwd)
-    kwargs = {} if num_shards is None else {"num_shards": num_shards}
-    if num_shards is None:
-        kwargs["num_shards"] = DEFAULT_NUM_SHARDS
-    return build_index(spark, union, out_dir, pretokenized=True, **kwargs)
+    return build_index(
+        spark,
+        union,
+        out_dir,
+        pretokenized=True,
+        num_shards=num_shards if num_shards is not None else DEFAULT_NUM_SHARDS,
+        resume=resume,
+        only_shards=only_shards,
+    )
