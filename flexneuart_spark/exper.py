@@ -1,0 +1,332 @@
+"""Descriptor-driven experiment runner (SURVEY.md §2.11's workflow cap).
+
+The reference orchestrates one experiment with
+``scripts/exper/run_one_experiment.sh``: a descriptor JSON names an
+extractor config + model family, then the pipeline runs candidate
+retrieval (Lucene BM25) → feature extraction (the composite extractor,
+``letor/FeatureExtractor.java:38-55`` built from a JSON list of
+``{type, params}`` entries) → RankLib training (Coordinate Ascent by
+default, LambdaMART with ``useLMART``) → reranking → trec_eval. This
+module is that driver over the Spark-native pieces that already exist:
+
+- retrieve:  ``search.engine.Searcher``        (K1-K3)
+- features:  ``operators.features``            (§2.11 composite)
+- train:     ``operators.coord_ascent`` / ``operators.lambdamart``
+- rerank:    ``features.linear_rerank`` / ``ensemble_rerank``
+- eval:      ``eval.evaluate``                 (A8)
+
+Descriptor keys mirror the reference's experiment JSON
+(e.g. ``scripts/data_convert/msmarco/exper_desc.lb2020-12-04/*.json``):
+``experSubdir``, ``extrType`` (path to — or inline — the reference-shape
+extractor list), ``useLMART`` (0/1), ``modelFinal`` (optional model
+file for ``testOnly``), ``testOnly`` (0/1), ``candProvAddConfParam``
+(path/dict with candidate-provider ``k1``/``b``), ``trainCandQty``,
+``testCandQty``, ``metricType``.
+
+Extractor-type mapping (reference → FEATURES registry):
+
+=========================  ==========  =================================
+reference ``type``          feature     params carried over
+=========================  ==========  =================================
+TFIDFSimilarity (bm25)      bm25        k1, b
+TFIDFSimilarity (cosine)    cosine      —
+TermMatchSimilarity         term_match  —
+Model1Similarity            model1      lambda→lambda_, minModel1Prob→
+                                        min_prob (needs ``tran=``)
+BM25ClosePairSimilarity     close_pair  queryWindow, docWindow, k1, b
+=========================  ==========  =================================
+
+``load_extractor_config`` / ``dump_extractor_config`` round-trip the
+reference shape exactly (numeric params keep RankLib's string form,
+``"0.05f"`` floats included), so a reference extractor JSON drops in
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexneuart_spark.config import BM25_B, BM25_K1
+
+# ---------------------------------------------------------------------------
+# extractor-config translation (reference JSON shape <-> FEATURES config)
+# ---------------------------------------------------------------------------
+
+
+def _num(s):
+    """RankLib param literals: strings, often with a trailing Java
+    ``f`` ("0.05f")."""
+    if isinstance(s, (int, float)):
+        return s
+    txt = str(s).strip()
+    if txt.lower().endswith("f"):
+        txt = txt[:-1]
+    return float(txt)
+
+
+def load_extractor_config(src) -> list[dict]:
+    """Reference extractor JSON (path, JSON string, or parsed list of
+    ``{"type": ..., "params": {...}}``) → ``features.extract_features``
+    config. Feature NAMES are ``f1..fm`` in list order — the same
+    1-based id↔order contract RankLib models are saved with
+    (``io/ranklib.weights_for_features``)."""
+    if isinstance(src, str):
+        if os.path.exists(src):
+            with open(src, encoding="utf-8") as f:
+                src = json.load(f)
+        else:
+            src = json.loads(src)
+    out: list[dict] = []
+    for i, entry in enumerate(src):
+        typ = entry["type"]
+        params = dict(entry.get("params", {}))
+        name = f"f{i + 1}"
+        if typ == "TFIDFSimilarity":
+            simil = params.get("similType", "bm25")
+            if simil == "bm25":
+                conf = {"name": name, "feature": "bm25"}
+                if "k1" in params:
+                    conf["k1"] = _num(params["k1"])
+                if "b" in params:
+                    conf["b"] = _num(params["b"])
+            elif simil == "cosine":
+                conf = {"name": name, "feature": "cosine"}
+            else:
+                raise ValueError(f"extractor {i}: unknown similType {simil!r}")
+        elif typ == "TermMatchSimilarity":
+            conf = {"name": name, "feature": "term_match"}
+        elif typ == "Model1Similarity":
+            conf = {"name": name, "feature": "model1"}
+            if "lambda" in params:
+                conf["lambda_"] = _num(params["lambda"])
+            if "minModel1Prob" in params:
+                conf["min_prob"] = _num(params["minModel1Prob"])
+        elif typ == "BM25ClosePairSimilarity":
+            conf = {"name": name, "feature": "close_pair"}
+            for src_key, dst_key in (
+                ("queryWindow", "query_window"),
+                ("docWindow", "doc_window"),
+                ("k1", "k1"),
+                ("b", "b"),
+            ):
+                if src_key in params:
+                    v = _num(params[src_key])
+                    conf[dst_key] = int(v) if dst_key.endswith("window") else v
+        else:
+            raise ValueError(f"extractor {i}: unknown type {typ!r}")
+        conf["_ref"] = entry  # verbatim original for the round-trip
+        out.append(conf)
+    return out
+
+
+def dump_extractor_config(config: list[dict]) -> list[dict]:
+    """FEATURES config → the reference's ``[{"type", "params"}]`` shape.
+    Entries loaded by :func:`load_extractor_config` round-trip VERBATIM
+    (the original dict is carried in ``_ref``); hand-built configs are
+    re-encoded from their params."""
+    out = []
+    for conf in config:
+        if "_ref" in conf:
+            out.append(conf["_ref"])
+            continue
+        feat = conf["feature"]
+        if feat == "bm25":
+            params = {"similType": "bm25", "indexFieldName": "text"}
+            if "k1" in conf:
+                params["k1"] = str(conf["k1"])
+            if "b" in conf:
+                params["b"] = str(conf["b"])
+            out.append({"type": "TFIDFSimilarity", "params": params})
+        elif feat == "cosine":
+            out.append(
+                {"type": "TFIDFSimilarity", "params": {"similType": "cosine", "indexFieldName": "text"}}
+            )
+        elif feat == "term_match":
+            out.append({"type": "TermMatchSimilarity", "params": {"indexFieldName": "text"}})
+        elif feat == "model1":
+            params = {}
+            if "lambda_" in conf:
+                params["lambda"] = f"{conf['lambda_']}f"
+            if "min_prob" in conf:
+                params["minModel1Prob"] = f"{conf['min_prob']}f"
+            out.append({"type": "Model1Similarity", "params": params})
+        elif feat == "close_pair":
+            params = {}
+            if "query_window" in conf:
+                params["queryWindow"] = str(conf["query_window"])
+            if "doc_window" in conf:
+                params["docWindow"] = str(conf["doc_window"])
+            if "k1" in conf:
+                params["k1"] = str(conf["k1"])
+            if "b" in conf:
+                params["b"] = str(conf["b"])
+            out.append({"type": "BM25ClosePairSimilarity", "params": params})
+        else:
+            raise ValueError(f"unknown feature {feat!r}")
+    return out
+
+
+def _strip_ref(config: list[dict]) -> list[dict]:
+    return [{k: v for k, v in c.items() if k != "_ref"} for c in config]
+
+
+# ---------------------------------------------------------------------------
+# experiment driver
+# ---------------------------------------------------------------------------
+
+
+def _load_json_maybe(src, default=None):
+    if src is None:
+        return default
+    if isinstance(src, dict):
+        return src
+    with open(src, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def run_experiment(
+    spark: SparkSession,
+    descriptor,
+    *,
+    index,
+    train_queries: list[tuple[str, str]],
+    test_queries: list[tuple[str, str]],
+    qrels: DataFrame,
+    out_dir: str,
+    tran: DataFrame | None = None,
+    tokenizer: str = "code",
+    seed: int = 42,
+) -> dict:
+    """One experiment, the ``run_one_experiment.sh`` stage order.
+
+    ``descriptor``: path or dict in the reference's experiment-JSON
+    shape. ``index``: an ``IndexTables`` (or index dir) for the
+    candidate provider AND the forward index that features are computed
+    from (the reference extracts features from the same collection's
+    forward index). ``qrels``: (query_id, doc_id, grade).
+
+    Returns ``{"run": fused test run, "baseline_run": BM25-only run,
+    "metrics": ..., "baseline_metrics": ..., "model": ...,
+    "model_path": ...}``; the fused run + model land under
+    ``out_dir/<experSubdir>``.
+    """
+    from flexneuart_spark.index.builder import IndexTables
+    from flexneuart_spark.io.ranklib import (
+        load_ranklib_ensemble,
+        load_ranklib_linear,
+        weights_for_features,
+        write_ranklib_linear,
+    )
+    from flexneuart_spark.io.trec import write_run
+    from flexneuart_spark.eval import evaluate
+    from flexneuart_spark.functions.tokenize import TOKENIZERS
+    from flexneuart_spark.operators.features import (
+        ensemble_rerank,
+        extract_features,
+        linear_rerank,
+    )
+    from flexneuart_spark.search.engine import Searcher
+
+    desc = _load_json_maybe(descriptor)
+    if isinstance(desc, list):  # the reference wraps one descriptor in a list
+        desc = desc[0]
+    extr_config = load_extractor_config(desc["extrType"])
+    cand_conf = _load_json_maybe(desc.get("candProvAddConfParam"), {})
+    k1 = _num(cand_conf.get("k1", BM25_K1))
+    b = _num(cand_conf.get("b", BM25_B))
+    use_lmart = bool(int(desc.get("useLMART", 0)))
+    test_only = bool(int(desc.get("testOnly", 0)))
+    train_cand_qty = int(desc.get("trainCandQty", 20))
+    test_cand_qty = int(desc.get("testCandQty", 10))
+    metric = str(desc.get("metricType", "map")).lower()
+
+    exp_dir = os.path.join(out_dir, desc.get("experSubdir", "exper"))
+    os.makedirs(exp_dir, exist_ok=True)
+
+    tables = index if isinstance(index, IndexTables) else IndexTables(index)
+    searcher = Searcher(spark, tables, k1=k1, b=b, tokenizer=tokenizer)
+    docs_tok = tables.fwd(spark).select("doc_id", "tokens")
+    tok = TOKENIZERS[tokenizer]
+
+    names = [c["name"] for c in extr_config]
+    feats_config = _strip_ref(extr_config)
+    for conf in feats_config:
+        if conf["feature"] == "model1":
+            if tran is None:
+                raise ValueError("descriptor uses Model1Similarity: pass tran=")
+            conf["tran"] = tran
+
+    def _features_for(queries: list[tuple[str, str]], cand: DataFrame) -> DataFrame:
+        q_tok = spark.createDataFrame(
+            [(qid, tok(text)) for qid, text in queries],
+            "query_id string, tokens array<string>",
+        )
+        feats = extract_features(docs_tok, q_tok, feats_config)
+        # the reference extracts features for the CANDIDATE list only
+        return feats.join(cand.select("query_id", "doc_id"), ["query_id", "doc_id"], "semi")
+
+    # ---- candidate provision (BM25, the Lucene provider analogue) ----
+    test_cand = searcher.search(test_queries, k=test_cand_qty)
+    baseline_metrics = evaluate(test_cand, qrels)
+
+    # ---- model: train (CA default / LambdaMART) or load modelFinal ----
+    model_path = os.path.join(exp_dir, "out.model")
+    if test_only:
+        if not desc.get("modelFinal"):
+            raise ValueError("testOnly without modelFinal")
+        model_path = desc["modelFinal"]
+        if use_lmart:
+            model = load_ranklib_ensemble(model_path)
+        else:
+            mw, _ = load_ranklib_linear(model_path)
+            model = weights_for_features(mw, names)
+    else:
+        train_cand = searcher.search(train_queries, k=train_cand_qty)
+        train_feats = _features_for(train_queries, train_cand).join(
+            qrels.select("query_id", "doc_id", "grade"), ["query_id", "doc_id"], "left"
+        ).fillna({"grade": 0})
+        if use_lmart:
+            from flexneuart_spark.operators.lambdamart import (
+                lambdamart_train,
+                write_ranklib_ensemble,
+            )
+
+            lm_kw = {}
+            if "numTrees" in desc:  # -num_trees passthrough
+                lm_kw["n_trees"] = int(desc["numTrees"])
+            model = lambdamart_train(train_feats, names, k=train_cand_qty, **lm_kw)
+            write_ranklib_ensemble(model, model_path)
+        else:
+            from flexneuart_spark.operators.coord_ascent import coord_ascent_train
+
+            ca_kw = {}
+            if "numRandRestart" in desc:  # -num_rand_restart passthrough
+                ca_kw["n_restart"] = int(desc["numRandRestart"])
+            model, _best = coord_ascent_train(
+                train_feats, names, metric=metric, k=train_cand_qty, seed=seed, **ca_kw
+            )
+            write_ranklib_linear(
+                [model[n] for n in names], model_path, headers={"metric": metric}
+            )
+
+    # ---- rerank the test candidates with the trained model ----
+    test_feats = _features_for(test_queries, test_cand)
+    if use_lmart:
+        run = ensemble_rerank(test_feats, model, names, k=test_cand_qty)
+    else:
+        run = linear_rerank(test_feats, model, k=test_cand_qty)
+    metrics = evaluate(run, qrels)
+    write_run(run, os.path.join(exp_dir, "fused.run"), run_id=desc.get("experSubdir", "exper"))
+
+    return {
+        "run": run,
+        "baseline_run": test_cand,
+        "metrics": metrics,
+        "baseline_metrics": baseline_metrics,
+        "model": model,
+        "model_path": model_path,
+    }

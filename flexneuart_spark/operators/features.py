@@ -17,6 +17,11 @@ Feature registry (each ``fn(docs_tok, q_tok, **params)``):
 - ``term_match`` — C6 (#shared distinct terms / #query distinct terms,
   ``simil_func/TermMatchSimilarity.java:30-50``)
 - ``model1``     — C7 (pass ``tran=<translation DataFrame>``)
+- ``cosine``     — C5 (``FeatExtrTFIDFSimilarity`` with similType=cosine)
+- ``close_pair`` — C3 (``FeatExtrBM25ClosePairSimilarity``)
+
+The descriptor-driven experiment runner over this registry (the
+``run_one_experiment.sh`` workflow) lives in ``flexneuart_spark/exper.py``.
 """
 
 from __future__ import annotations
@@ -56,10 +61,130 @@ def _feat_model1(docs_tok: DataFrame, q_tok: DataFrame, tran: DataFrame = None, 
     return model1_scores(docs_tok, q_tok, tran, **kw)
 
 
+def _feat_cosine(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
+    """C5 tf·idf cosine as a feature (FeatExtrTFIDFSimilarity with
+    ``similType=cosine``): idf = ln(1 + (N - df + 0.5)/(df + 0.5)) over
+    the given doc universe, score = dot/(|d|·|q|)."""
+    tf = (
+        docs_tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs_tok.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    dw = tf.join(dfreq, "term").withColumn("w", F.col("tf") * idf).select("doc_id", "term", "w")
+    dnorm = dw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+    qtf = (
+        q_tok.select("query_id", F.explode("tokens").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    qw = (
+        qtf.join(dfreq, "term")
+        .withColumn("qw", F.col("qtf") * idf)
+        .select("query_id", "term", "qw")
+    )
+    qnorm = qw.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    dot = (
+        dw.join(F.broadcast(qw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dot.join(dnorm, "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id", "doc_id", (F.col("dot") / (F.col("dnorm") * F.col("qnorm"))).alias("score")
+        )
+    )
+
+
+def _feat_close_pair(
+    docs_tok: DataFrame,
+    q_tok: DataFrame,
+    query_window: int = 4,
+    doc_window: int = 8,
+    ordered: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """C3 close-pair proximity as a feature
+    (``FeatExtrBM25ClosePairSimilarity``): candidates = docs sharing ≥2
+    distinct query terms; each (query, doc) pair scored with the C9
+    kernel (``search/proximity.py:close_pair_score``) in one
+    Arrow-batched pandas pass. The query-vocabulary idf slice is
+    driver-small (queries are a bounded set) and ships by closure."""
+    import numpy as np
+    import pandas as pd
+
+    from flexneuart_spark.search.proximity import close_pair_score
+
+    stats = docs_tok.select(F.size("tokens").alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats.n), float(stats.avgdl or 1.0)
+    qvocab = [
+        r.term
+        for r in q_tok.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .distinct()
+        .collect()
+    ]
+    if not qvocab:
+        return q_tok.sparkSession.createDataFrame(
+            [], "query_id string, doc_id string, score double"
+        )
+    dfreq = {
+        r.term: r.df
+        for r in docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+        .where(F.col("term").isin(qvocab))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    terms = sorted(t for t in qvocab if t in dfreq)
+    term_to_id = {t: i for i, t in enumerate(terms)}
+    idf_by_id = np.array(
+        [float(np.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))) for t in terms]
+    )
+    qpairs = docs_tok.withColumn(
+        "n_match",
+        F.size(F.array_intersect(F.array_distinct("tokens"), F.array(*[F.lit(t) for t in terms]))),
+    ).filter(F.col("n_match") >= 2).crossJoin(
+        F.broadcast(q_tok.select("query_id", F.col("tokens").alias("q_tokens")))
+    )
+    qw_, dw_, ordd, K1, B, AVGDL = query_window, doc_window, ordered, k1, b, avgdl
+
+    def _score(it):
+        for pdf in it:
+            scores = []
+            for qt, dt in zip(pdf["q_tokens"], pdf["tokens"]):
+                qi = np.array([term_to_id.get(t, -1) for t in qt], dtype=np.int64)
+                di = np.array([term_to_id.get(t, -1) for t in dt], dtype=np.int64)
+                scores.append(
+                    close_pair_score(
+                        qi, di, len(dt), idf_by_id, AVGDL,
+                        query_window=qw_, doc_window=dw_, ordered=ordd, k1=K1, b=B,
+                    )
+                )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "doc_id": pdf["doc_id"], "score": scores}
+            )
+
+    out = qpairs.select("query_id", "doc_id", "q_tokens", "tokens").mapInPandas(
+        _score, "query_id string, doc_id string, score double"
+    )
+    return out.filter(F.col("score") != 0.0)
+
+
 FEATURES: dict[str, Callable[..., DataFrame]] = {
     "bm25": _feat_bm25,
     "term_match": _feat_term_match,
     "model1": _feat_model1,
+    "cosine": _feat_cosine,
+    "close_pair": _feat_close_pair,
 }
 
 

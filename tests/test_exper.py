@@ -1,0 +1,199 @@
+"""Descriptor-driven experiment runner (flexneuart_spark/exper.py) vs
+the reference workflow shape (scripts/exper/run_one_experiment.sh over
+letor/FeatureExtractor.java extractor configs):
+
+- the reference's extractor-config JSON round-trips verbatim;
+- the full retrieve → features → train (CA / LambdaMART) → rerank →
+  eval pipeline runs end-to-end and the FUSED run beats the BM25-only
+  candidate run on MAP;
+- the written RankLib model reloads via testOnly/modelFinal and
+  reproduces the fused run exactly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flexneuart_spark import exper as E
+
+# the reference's extractor shape (modeled on
+# exper_desc.lb2020-12-04/extractors/*.json)
+REF_EXTRACTORS = [
+    {
+        "type": "TFIDFSimilarity",
+        "params": {"k1": "1.6", "b": "0.75", "indexFieldName": "text", "similType": "bm25"},
+    },
+    {"type": "TFIDFSimilarity", "params": {"indexFieldName": "text", "similType": "cosine"}},
+    {"type": "TermMatchSimilarity", "params": {"queryFieldName": "text", "indexFieldName": "text"}},
+    {
+        "type": "BM25ClosePairSimilarity",
+        "params": {"queryWindow": "4", "docWindow": "8", "k1": "1.6", "b": "0.75"},
+    },
+    {
+        "type": "Model1Similarity",
+        "params": {"lambda": "0.1f", "minModel1Prob": "5e-4f", "gizaIterQty": "5"},
+    },
+]
+
+
+def test_extractor_config_roundtrip(tmp_path):
+    p = tmp_path / "extr.json"
+    p.write_text(json.dumps(REF_EXTRACTORS))
+    config = E.load_extractor_config(str(p))
+    # translated params (RankLib "0.05f" floats included)
+    assert [c["feature"] for c in config] == [
+        "bm25", "cosine", "term_match", "close_pair", "model1",
+    ]
+    assert config[0]["k1"] == 1.6 and config[0]["b"] == 0.75
+    assert config[3]["query_window"] == 4 and config[3]["doc_window"] == 8
+    assert config[4]["lambda_"] == pytest.approx(0.1)
+    assert config[4]["min_prob"] == pytest.approx(5e-4)
+    # names are the RankLib 1-based id contract
+    assert [c["name"] for c in config] == ["f1", "f2", "f3", "f4", "f5"]
+    # and the reference shape comes back VERBATIM
+    assert E.dump_extractor_config(config) == REF_EXTRACTORS
+
+
+def test_dump_hand_built_config():
+    config = [
+        {"name": "f1", "feature": "bm25", "k1": 1.2, "b": 0.75},
+        {"name": "f2", "feature": "term_match"},
+    ]
+    ref = E.dump_extractor_config(config)
+    assert ref[0]["type"] == "TFIDFSimilarity" and ref[0]["params"]["similType"] == "bm25"
+    assert ref[1]["type"] == "TermMatchSimilarity"
+    # and it reloads to the same features
+    again = E.load_extractor_config(json.dumps(ref))
+    assert [c["feature"] for c in again] == ["bm25", "term_match"]
+
+
+# ---------------------------------------------------------------------------
+# e2e: fused run beats BM25-only on MAP
+# ---------------------------------------------------------------------------
+#
+# Deterministic collection where BM25 alone misranks: for each query
+# (qa_i qb_i qc_i), the RELEVANT doc holds all three terms once (with an
+# adjacent qa_i qb_i pair) while the DISTRACTOR repeats two terms many
+# times — tf saturation pushes its BM25 sum past the relevant doc's, but
+# term_match (3/3 vs 2/3) and the ordered close-pair feature separate
+# them cleanly, so trained fusion weights fix the ranking.
+
+FILLER = "the quick brown fox jumps over lazy dogs near banks of rivers"
+
+
+def _collection(n_queries: int):
+    docs, queries, qrels = [], [], []
+    for i in range(n_queries):
+        qa, qb, qc = f"alpha{i}", f"beta{i}", f"gamma{i}"
+        queries.append((f"q{i}", f"{qa} {qb} {qc}"))
+        docs.append((f"R{i}", f"{qa} {qb} {qc} {FILLER}"))
+        docs.append((f"D{i}", " ".join([qa, qb] * 6) + " " + FILLER))
+        qrels.append((f"q{i}", f"R{i}", 1))
+        qrels.append((f"q{i}", f"D{i}", 0))
+    # background docs so idf/df stats aren't degenerate
+    for j in range(30):
+        docs.append((f"B{j}", f"{FILLER} filler{j} common words everywhere"))
+    return docs, queries, qrels
+
+
+def test_run_experiment_ca_beats_bm25(spark, tmp_path):
+    from flexneuart_spark.index.builder import build_index
+
+    docs, queries, qrels_rows = _collection(8)
+    corpus = spark.createDataFrame(docs, "doc_id string, content string")
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), num_shards=4, tokenizer="whitespace")
+    qrels = spark.createDataFrame(qrels_rows, "query_id string, doc_id string, grade int")
+
+    desc = {
+        "experSubdir": "ca_fusion",
+        "extrType": json.dumps(
+            [
+                {"type": "TFIDFSimilarity",
+                 "params": {"k1": "1.2", "b": "0.75", "similType": "bm25"}},
+                {"type": "TermMatchSimilarity", "params": {}},
+                {"type": "BM25ClosePairSimilarity",
+                 "params": {"queryWindow": "4", "docWindow": "8"}},
+            ]
+        ),
+        "candProvAddConfParam": {"k1": "1.2", "b": "0.75"},
+        "useLMART": 0,
+        "trainCandQty": 10,
+        "testCandQty": 10,
+        "metricType": "map",
+        "numRandRestart": 2,
+    }
+    res = E.run_experiment(
+        spark,
+        desc,
+        index=idx,
+        train_queries=queries[:4],
+        test_queries=queries[4:],
+        qrels=qrels,
+        out_dir=str(tmp_path),
+        tokenizer="whitespace",
+    )
+    # the premise: BM25 alone misranks the distractor above the relevant doc
+    assert res["baseline_metrics"]["map"] < 1.0
+    # the descriptor-driven fused run fixes it
+    assert res["metrics"]["map"] > res["baseline_metrics"]["map"]
+    assert res["metrics"]["map"] == pytest.approx(1.0)
+
+    # model round-trip: rerun testOnly from the written RankLib file
+    desc2 = dict(desc, testOnly=1, modelFinal=res["model_path"], experSubdir="ca_test_only")
+    res2 = E.run_experiment(
+        spark,
+        desc2,
+        index=idx,
+        train_queries=[],
+        test_queries=queries[4:],
+        qrels=qrels,
+        out_dir=str(tmp_path),
+        tokenizer="whitespace",
+    )
+    got = sorted(map(tuple, res2["run"].collect()))
+    want = sorted(map(tuple, res["run"].collect()))
+    assert [(r[0], r[1], r[3]) for r in got] == [(r[0], r[1], r[3]) for r in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], rel=1e-9)  # scores through the text model file
+
+
+def test_run_experiment_lambdamart(spark, tmp_path):
+    from flexneuart_spark.index.builder import build_index
+
+    docs, queries, qrels_rows = _collection(6)
+    corpus = spark.createDataFrame(docs, "doc_id string, content string")
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), num_shards=4, tokenizer="whitespace")
+    qrels = spark.createDataFrame(qrels_rows, "query_id string, doc_id string, grade int")
+
+    desc = {
+        "experSubdir": "lmart_fusion",
+        "extrType": json.dumps(
+            [
+                {"type": "TFIDFSimilarity",
+                 "params": {"k1": "1.2", "b": "0.75", "similType": "bm25"}},
+                {"type": "TermMatchSimilarity", "params": {}},
+            ]
+        ),
+        "useLMART": 1,
+        "numTrees": 10,
+        "trainCandQty": 10,
+        "testCandQty": 10,
+    }
+    res = E.run_experiment(
+        spark,
+        desc,
+        index=idx,
+        train_queries=queries[:3],
+        test_queries=queries[3:],
+        qrels=qrels,
+        out_dir=str(tmp_path),
+        tokenizer="whitespace",
+    )
+    assert res["metrics"]["map"] >= res["baseline_metrics"]["map"]
+    assert res["model_path"].endswith("out.model")
+    # the run file landed in the experiment subdir
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "lmart_fusion", "fused.run"))
