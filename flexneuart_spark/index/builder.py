@@ -324,7 +324,8 @@ class IndexTables:
         return self.fwd(spark).select("shard", "ord", "doc_id", "doc_len", "content_sha256")
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.postings_dir)
+        # explicit schema: stable for zero-file tables (all-empty corpora)
+        return spark.read.schema(_POSTINGS_SCHEMA).parquet(self.postings_dir)
 
     def dictionary(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.dictionary_dir)
@@ -666,7 +667,10 @@ def _finalize(spark: SparkSession, tables: IndexTables) -> None:
         spark, stats_pdf, tables.corpus_stats_dir, "n_docs long, total_tokens long, avg_doc_len double"
     )
 
-    posts = spark.read.parquet(tables.postings_dir)
+    # explicit schema: a corpus whose docs ALL tokenize to zero tokens
+    # (kept per F1/F2) writes a zero-file postings table, where schema
+    # inference would fail (fuzz-found)
+    posts = spark.read.schema(_POSTINGS_SCHEMA).parquet(tables.postings_dir)
     # global df merge: ≤ num_shards rows per term — skew-free by construction
     dic = posts.groupBy("term").agg(F.sum("df_shard").alias("df"))
     head = dic.limit(_SMALL_VOCAB + 1).toPandas()
