@@ -331,6 +331,41 @@ def main() -> None:
         "assign_compare": assign_compare,
     }
 
+    # ---- 10x scale check (scripts/scale_bench.py) ----
+    # the sf1 run takes ~1 h standalone (a 1.2 M-doc local[1] build), so
+    # it is measured out-of-band and its committed artifact embedded here
+    # — BENCH_r{N}.json carries both scale factors; measured_at_commit
+    # pins which code produced the numbers
+    if os.path.exists("BENCH/SCALE_CHECK.json"):
+        with open("BENCH/SCALE_CHECK.json") as f:
+            results["scale_check"] = json.load(f)
+
+    scale_md = ""
+    if "scale_check" in results:
+        sc = results["scale_check"]
+        rows = "".join(
+            f"| {q} | {sc['headline']['base']['measured'][q]} | "
+            f"{sc['headline']['scaled']['measured'][q]} | {g} |\n"
+            for q, g in sc["growth_ratio"].items()
+        )
+        flagged = sc["flagged_gt_2x_data"] or "none"
+        scale_md = (
+            f"\n## 10x scale check (scripts/scale_bench.py @ {sc['measured_at_commit']})\n\n"
+            f"Synthesized sf1 = {sc['factor']}x the sf0.1 tables (word-permuted doc"
+            " replicas — term stats preserved, near-dup twins destroyed; noised"
+            " embeddings; microsecond-shifted events). Headline suite"
+            f" {sc['suite_total_base_sec']} s → {sc['suite_total_scaled_sec']} s"
+            f" at {sc['factor']}x data = {sc['suite_growth']}x total growth."
+            f" Queries growing >2x the data factor: {flagged}.\n\n"
+            "| query | sf0.1 sec | sf1 sec | growth |\n|---|---|---|---|\n"
+            + rows
+            + f"\nIndexing at {sc['indexing_docs']} docs / {sc['indexing_corpus_mb']} MB: "
+            + ", ".join(f"{k} {v} docs/s" for k, v in sc["indexing_docs_per_sec"].items())
+            + f"; paired N→4N efficiency {sc['scaling_efficiency']}"
+            f" ({sc['scaling_reps']} pair — the ~30-min local[1] build integrates"
+            " over VM noise windows).\n"
+        )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -433,6 +468,8 @@ def main() -> None:
             "- emb_cosine_topk: broadcast query side, linear scan — the exact\n"
             "  baseline; the ANN entries (LSH/RP/IVF) are the scale path.\n"
         )
+        if scale_md:
+            f.write(scale_md)
 
     print(json.dumps(results))
 

@@ -137,6 +137,7 @@ def make_corpus_scaled(
     mean_log: float = 6.1,
     sigma: float = 0.85,
     max_len: int = 8_000,
+    id_offset: int = 0,
 ) -> pd.DataFrame:
     """Benchmark corpus with REALISTIC source-file sizes (median ~450
     tokens ≈ a few hundred lines; ``make_corpus``'s lognormal(4,1) median
@@ -161,12 +162,16 @@ def make_corpus_scaled(
 
     langs = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
     rows = []
-    for i in range(n_docs):
-        lang = LANGS[langs[i]]
+    for j0 in range(n_docs):
+        # id_offset: disjoint doc-id spans for CHUNKED generation of
+        # very large bench corpora (scripts/scale_bench.py) — memory
+        # stays bounded per chunk while ids/paths never collide
+        i = j0 + id_offset
+        lang = LANGS[langs[j0]]
         repo = f"org{(i // 50) % 200}/repo{i % 50}"
         path = f"src/d{i % 13}/f{i}.{LANG_EXT[lang]}"
         commit = hashlib.sha256(f"commit:{repo}:{path}".encode()).hexdigest()[:40]
-        toks = docs_toks[i]
+        toks = docs_toks[j0]
         parts = [" ".join(toks[j : j + 12]) for j in range(0, len(toks), 12)]
         rows.append((repo, path, commit, lang, "\n".join(parts)))
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
