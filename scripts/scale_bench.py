@@ -166,6 +166,11 @@ def main() -> None:
     import bench  # the per-session warmed _spark + headline machinery
 
     t_start = time.time()
+    # capture at START: later commits in the same session must not be
+    # recorded as the code under measurement
+    git_sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
     work = tempfile.mkdtemp(prefix="fxn_scale_", dir=TMP)
     scaled_dir = f"{work}/sf{FACTOR}x"
 
@@ -223,9 +228,6 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
 
-    git_sha = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
-    ).stdout.strip()
     out = {
         "factor": FACTOR,
         "measured_at_commit": git_sha,
