@@ -21,6 +21,9 @@ BM25_B = 0.75
 # Ingest truncation (reference: flexneuart/config.py:42)
 MAX_DOC_SIZE = 32768
 
+# Passage truncation — one BERT input chunk (reference: flexneuart/config.py:43)
+MAX_PASS_SIZE = 8192
+
 # Posting-list block size (docs per compressed block). Lucene uses 128-doc
 # blocks for its skip/impact data; we mirror that granularity.
 POSTING_BLOCK = 128

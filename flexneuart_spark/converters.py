@@ -39,11 +39,11 @@ import re
 import xml.etree.ElementTree as ET
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flexneuart_spark.config import MAX_DOC_SIZE
+from flexneuart_spark.config import MAX_DOC_SIZE, MAX_PASS_SIZE
 from flexneuart_spark.functions.kstem import krovetz_stem_col
 from flexneuart_spark.functions.lemma import lemma_pair_col, load_lemma_dict
 from flexneuart_spark.functions.textproc import pretokenize_url_col, sentencize_col
@@ -747,3 +747,221 @@ def cranfield_docs(
         F.col("_b.lemmas").alias(BODY_FIELD),
     )
     return _with_bert(out, bert_vocab)
+
+
+# ---------------------------------------------------------------------------
+# MS MARCO v2 (scripts/data_convert/msmarco_v2/convert_docs.py,
+# convert_pass.py). Raw inputs are JSONL shards (the un-tarred
+# msmarco_doc_* / msmarco_passage_* files — data_convert/utils.py:30-31);
+# Spark's text reader globs + gunzips them natively, replacing the
+# reference's multi_file_linegen + multiprocessing pool.
+# ---------------------------------------------------------------------------
+
+ORIG_DOCID_FIELD = "orig_docid"  # convert_pass.py:27
+
+_MARCO_V2_DOC = T.StructType(
+    [
+        T.StructField("docid", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("headings", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+_MARCO_V2_PASS = T.StructType(
+    [
+        T.StructField("pid", T.StringType()),
+        T.StructField("docid", T.StringType()),
+        T.StructField("passage", T.StringType()),
+    ]
+)
+
+
+def msmarco_v2_docs(
+    lines: DataFrame,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    max_doc_size: int = MAX_DOC_SIZE,
+    bert_vocab: list[str] | None = None,
+) -> DataFrame:
+    """MS MARCO v2 document JSONL → entry frame
+    (msmarco_v2/convert_docs.py:72-106): the worker cuts ``body`` (only)
+    at ``max_doc_size`` chars, lemmatizes url/title/body/headings, and
+    joins the lemmas url-headings-title-body into ``text`` /
+    the raw fields into ``text_raw``. ``lines``: raw JSONL rows in a
+    ``value`` column. Rows whose JSON fails to parse or lacks a docid
+    are dropped (the reference worker skips empty lines and would abort
+    on bad JSON; a distributed scan drops-and-continues instead)."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    base = (
+        lines.where(F.trim("value") != "")
+        .select(F.from_json("value", _MARCO_V2_DOC).alias("j"))
+        .where(F.col("j.docid").isNotNull())
+        .select(
+            F.col("j.docid").alias(DOCID_FIELD),
+            F.coalesce("j.url", F.lit("")).alias("_url"),
+            F.coalesce("j.title", F.lit("")).alias("_title"),
+            F.coalesce("j.headings", F.lit("")).alias("_headings"),
+            F.substring(F.coalesce("j.body", F.lit("")), 1, max_doc_size).alias("_body"),
+        )
+    )
+    proc = (
+        base.withColumn("_u", _proc(pretokenize_url_col("_url"), dictionary, stops))
+        .withColumn("_t", _proc(F.col("_title"), dictionary, stops))
+        .withColumn("_b", _proc(F.col("_body"), dictionary, stops))
+        .withColumn("_h", _proc(F.col("_headings"), dictionary, stops))
+    )
+    out = proc.select(
+        DOCID_FIELD,
+        F.col("_u.lemmas").alias("url"),
+        F.col("_u.tokens").alias("url_unlemm"),
+        F.col("_h.lemmas").alias("headings"),
+        F.col("_h.tokens").alias("headings_unlemm"),
+        # convert_docs.py:92-93 — join order url, headings, title, body
+        F.trim(
+            F.concat_ws(
+                " ", F.col("_u.lemmas"), F.col("_h.lemmas"), F.col("_t.lemmas"), F.col("_b.lemmas")
+            )
+        ).alias(TEXT_FIELD),
+        F.col("_t.lemmas").alias(TITLE_FIELD),
+        F.col("_t.tokens").alias(TITLE_UNLEMM_FIELD),
+        F.col("_b.tokens").alias(BODY_FIELD),
+        F.concat_ws(" ", "_url", "_headings", "_title", "_body").alias(TEXT_RAW_FIELD),
+    )
+    return _with_bert(out, bert_vocab)
+
+
+def msmarco_v2_passages(
+    lines: DataFrame,
+    dictionary: frozenset[str] | None = None,
+    stop_words: list[str] | None = None,
+    max_pass_size: int = MAX_PASS_SIZE,
+    bert_vocab: list[str] | None = None,
+) -> DataFrame:
+    """MS MARCO v2 passage JSONL → entry frame
+    (msmarco_v2/convert_pass.py:78-97): passage cut at ``max_pass_size``
+    chars; entry keeps the parent document id as ``orig_docid``."""
+    dictionary = dictionary if dictionary is not None else load_lemma_dict()
+    stops = stop_words or []
+    base = (
+        lines.where(F.trim("value") != "")
+        .select(F.from_json("value", _MARCO_V2_PASS).alias("j"))
+        .where(F.col("j.pid").isNotNull())
+        .select(
+            F.col("j.pid").alias(DOCID_FIELD),
+            F.coalesce("j.docid", F.lit("")).alias(ORIG_DOCID_FIELD),
+            F.substring(F.coalesce("j.passage", F.lit("")), 1, max_pass_size).alias("_p"),
+        )
+    )
+    proc = base.withColumn("_pp", _proc(F.col("_p"), dictionary, stops))
+    out = proc.select(
+        DOCID_FIELD,
+        ORIG_DOCID_FIELD,
+        F.col("_pp.lemmas").alias(TEXT_FIELD),
+        F.col("_pp.tokens").alias(TEXT_UNLEMM_FIELD),
+        F.col("_p").alias(TEXT_RAW_FIELD),
+    )
+    return _with_bert(out, bert_vocab)
+
+
+def msmarco_v2_doc2pass(entries: DataFrame) -> DataFrame:
+    """Document → passage-id recoding table
+    (convert_pass.py:121-133: ``{DOCNO: did, pass_ids: ' '.join(set)}``).
+    The reference emits Python-set order; a distributed collect has no
+    stable insertion order, so the ids are deduplicated AND sorted —
+    same set per document, deterministic string."""
+    return (
+        entries.groupBy(ORIG_DOCID_FIELD)
+        .agg(
+            F.concat_ws(" ", F.sort_array(F.collect_set(DOCID_FIELD))).alias("pass_ids")
+        )
+        .withColumnRenamed(ORIG_DOCID_FIELD, DOCID_FIELD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entry/query utility scripts (scripts/data_convert/add_stemmed_field.py,
+# split_queries.py, filter_queries.py, merge_bsonl.py) — the small
+# glue steps around the named converters, as DataFrame → DataFrame ops.
+# ---------------------------------------------------------------------------
+
+TEXT_STEMMED_FIELD = "text_stems"  # flexneuart/config.py:69
+
+
+def add_stemmed_field(
+    entries: DataFrame,
+    stop_words: list[str] | None = None,
+    src_field: str = TEXT_RAW_FIELD,
+    dst_field: str = TEXT_STEMMED_FIELD,
+) -> DataFrame:
+    """``add_stemmed_field.py:44-49``: add a Krovetz-stemmed + stopped
+    field computed from ``src_field`` to every entry (KrovetzStemParser
+    lowercases, drops stops, keeps alnum tokens)."""
+    return entries.withColumn(dst_field, krovetz_stem_col(src_field, stop_words or []))
+
+
+def split_queries(
+    queries: DataFrame,
+    sizes: list[int],
+    seed: int = 0,
+) -> DataFrame:
+    """``split_queries.py`` + ``data_convert/utils.py:38-56``: randomly
+    partition queries into ``len(sizes)`` parts with EXACT sizes
+    (sum(sizes) must equal the query count). The reference seeds
+    ``random.shuffle`` over the id list then cuts contiguous ranges;
+    the distributed restatement ranks ids by a seeded md5 (the engine's
+    standard deterministic-shuffle device, same as collection_split) and
+    cuts the ranked sequence at the same cumulative boundaries — exact
+    sizes, deterministic, no driver-side id list. Adds a ``part`` column
+    (partition ordinal, 0-based)."""
+    n = queries.count()
+    if sum(sizes) != n:
+        raise ValueError(f"sizes sum to {sum(sizes)} but there are {n} queries")
+    bounds = []
+    acc = 0
+    for s_ in sizes:
+        acc += s_
+        bounds.append(acc)
+    w = Window.orderBy(F.md5(F.concat_ws("\x01", F.lit(str(seed)), F.col(DOCID_FIELD))))
+    ranked = queries.withColumn("_rk", F.row_number().over(w))
+    part = F.lit(len(sizes) - 1)
+    for i in range(len(sizes) - 2, -1, -1):
+        part = F.when(F.col("_rk") <= bounds[i], F.lit(i)).otherwise(part)
+    return ranked.withColumn("part", part).drop("_rk")
+
+
+def split_qrels(qrels: DataFrame, split_map: DataFrame) -> DataFrame:
+    """``split_queries.py:write_qrels_files``: route each qrel row to its
+    query's partition; rows whose query id is absent from the split map
+    are dropped (the reference counts them as ``miss_qty``). ``split_map``
+    is ``split_queries`` output (or any frame with DOCNO + part)."""
+    m = split_map.select(F.col(DOCID_FIELD).alias("query_id"), "part")
+    return qrels.join(F.broadcast(m), "query_id", "inner")
+
+
+def filter_queries(queries: DataFrame, *ignore: DataFrame) -> DataFrame:
+    """``filter_queries.py``: drop queries whose ``text`` exactly matches
+    any query text in the ignore sets (train/dev leakage guard). Queries
+    lacking a text field are dropped too (the reference ``continue``-s
+    past them)."""
+    out = queries.where(F.col(TEXT_FIELD).isNotNull())
+    for ig in ignore:
+        out = out.join(
+            F.broadcast(ig.select(F.col(TEXT_FIELD)).where(F.col(TEXT_FIELD).isNotNull()).distinct()),
+            TEXT_FIELD,
+            "left_anti",
+        )
+    return out
+
+
+def merge_entries(*frames: DataFrame) -> DataFrame:
+    """``merge_bsonl.py``: merge per-id entry frames whose field sets are
+    disjoint except for the id (the reference asserts matching key sets
+    and loads everything in RAM; the restatement is an id-equijoin —
+    inner, per the matching-keys assumption, and distributed)."""
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.join(f_, DOCID_FIELD, "inner")
+    return out

@@ -10,6 +10,8 @@
         [--min-query-tokens 1] [--max-doc-size 32768]
 
 Formats: msmarco_docs (4-field TSV), msmarco_queries (2-field TSV),
+msmarco_v2_docs (JSONL shards), msmarco_v2_passages (JSONL shards →
+pass_entries + doc2pass outputs),
 tsv_queries_krovetz (2-field TSV, Krovetz stem), cranfield
 (``.I``-record file), yahoo_answers (series-of-XML container →
 question/answer/qrel/bitext outputs), dpr_passages (3-field TSV),
@@ -26,6 +28,8 @@ import sys
 FORMATS = [
     "msmarco_docs",
     "msmarco_queries",
+    "msmarco_v2_docs",
+    "msmarco_v2_passages",
     "tsv_queries_krovetz",
     "cranfield",
     "yahoo_answers",
@@ -109,6 +113,24 @@ def main() -> None:
         spark.stop()
         return
 
+    if args.format == "msmarco_v2_passages":
+        # two outputs, mirroring convert_pass.py's --output_main and
+        # --output_doc2pass files
+        entries = C.msmarco_v2_passages(
+            spark.read.text(args.input),
+            stop_words=stops,
+            max_pass_size=args.max_doc_size or C.MAX_PASS_SIZE,
+            bert_vocab=bert_vocab,
+        )
+        entries.write.mode("overwrite").parquet(f"{args.output}/pass_entries")
+        entries = spark.read.parquet(f"{args.output}/pass_entries")
+        print(f"converted {entries.count()} msmarco_v2 passage rows to {args.output}/pass_entries")
+        C.msmarco_v2_doc2pass(entries).write.mode("overwrite").parquet(f"{args.output}/doc2pass")
+        n = spark.read.parquet(f"{args.output}/doc2pass").count()
+        print(f"converted {n} msmarco_v2 doc2pass rows to {args.output}/doc2pass")
+        spark.stop()
+        return
+
     if args.format == "cranfield":
         out = C.cranfield_docs(
             C.read_cranfield(spark, args.input), stop_words=stops, bert_vocab=bert_vocab
@@ -125,6 +147,13 @@ def main() -> None:
             )
         elif args.format == "msmarco_docs":
             out = C.msmarco_docs(
+                lines,
+                stop_words=stops,
+                max_doc_size=args.max_doc_size or MAX_DOC_SIZE,
+                bert_vocab=bert_vocab,
+            )
+        elif args.format == "msmarco_v2_docs":
+            out = C.msmarco_v2_docs(
                 lines,
                 stop_words=stops,
                 max_doc_size=args.max_doc_size or MAX_DOC_SIZE,

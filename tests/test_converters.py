@@ -419,3 +419,168 @@ def test_dpr_passages_multifile_gz(spark, tmp_path):
     lines = spark.read.text(str(d / "*.tsv.gz"))
     got = {r[C.DOCID_FIELD] for r in C.dpr_passages(lines, DICT, STOPS).collect()}
     assert got == {"18", "19", "20"}
+
+
+# --------------------------------------------------------------------------
+# MS MARCO v2 (msmarco_v2/convert_docs.py, convert_pass.py)
+# --------------------------------------------------------------------------
+
+MARCO_V2_DOC_LINES = [
+    '{"docid": "msmarco_doc_00_1", "url": "https://www.example.com/cats", '
+    '"title": "Running Cats", "headings": "Cats Running Fast", '
+    '"body": "the cats were running faster"}',
+    '{"docid": "msmarco_doc_00_2", "url": "http://site.org/a", '
+    '"title": "Books", "headings": "", "body": "she studies old books of maps"}',
+    "",  # empty line -> worker returns None, skipped
+    '{"docid": "msmarco_doc_00_3", "url": "https://x.io/q?p=1", '
+    '"title": "Mice & Feet", "headings": "Deep", "body": "feet of mice went deeper"}',
+]
+
+MARCO_V2_PASS_LINES = [
+    '{"pid": "msmarco_passage_00_1", "docid": "msmarco_doc_00_1", '
+    '"passage": "the cats were running faster"}',
+    '{"pid": "msmarco_passage_00_2", "docid": "msmarco_doc_00_1", '
+    '"passage": "cats run very fast indeed"}',
+    '{"pid": "msmarco_passage_00_3", "docid": "msmarco_doc_00_2", '
+    '"passage": "she studies old books of maps"}',
+    "",
+]
+
+
+def test_msmarco_v2_docs_matches_reference_recipe(spark):
+    import json
+
+    lines = spark.createDataFrame([(l,) for l in MARCO_V2_DOC_LINES], "value string")
+    got = {r[C.DOCID_FIELD]: r.asDict() for r in C.msmarco_v2_docs(lines, DICT, STOPS).collect()}
+    assert set(got) == {"msmarco_doc_00_1", "msmarco_doc_00_2", "msmarco_doc_00_3"}
+    # pure-Python mirror of convert_docs.py:72-106
+    for line in MARCO_V2_DOC_LINES:
+        if not line:
+            continue
+        fields = json.loads(line)
+        url, title, headings, body = (
+            fields["url"], fields["title"], fields["headings"], fields["body"]
+        )
+        url_lem, url_unlemm = _proc_text(_pretok_url(url))
+        h_lem, h_unlemm = _proc_text(headings)
+        t_lem, t_unlemm = _proc_text(title)
+        b_lem, b_unlemm = _proc_text(body)
+        row = got[fields["docid"]]
+        assert row["url"] == url_lem
+        assert row["url_unlemm"] == url_unlemm
+        assert row["headings"] == h_lem
+        assert row["headings_unlemm"] == h_unlemm
+        assert row["title"] == t_lem
+        assert row["title_unlemm"] == t_unlemm
+        assert row["body"] == b_unlemm
+        # join order url, headings, title, body (convert_docs.py:92)
+        assert row["text"] == " ".join([url_lem, h_lem, t_lem, b_lem]).strip()
+        assert row["text_raw"] == " ".join([url, headings, title, body])
+
+
+def test_msmarco_v2_docs_body_truncation(spark):
+    # the v2 worker cuts the BODY field only (convert_docs.py:77), unlike
+    # the v1 TSV converter which cuts the whole line
+    line = (
+        '{"docid": "D", "url": "u", "title": "t", "headings": "h", '
+        '"body": "' + "x" * 100 + '"}'
+    )
+    lines = spark.createDataFrame([(line,)], "value string")
+    out = C.msmarco_v2_docs(lines, DICT, STOPS, max_doc_size=30).collect()
+    assert len(out) == 1
+    assert out[0]["text_raw"] == "u h t " + "x" * 30
+
+
+def test_msmarco_v2_passages_and_doc2pass(spark):
+    import json
+
+    lines = spark.createDataFrame([(l,) for l in MARCO_V2_PASS_LINES], "value string")
+    entries = C.msmarco_v2_passages(lines, DICT, STOPS)
+    got = {r[C.DOCID_FIELD]: r.asDict() for r in entries.collect()}
+    assert set(got) == {f"msmarco_passage_00_{i}" for i in (1, 2, 3)}
+    for line in MARCO_V2_PASS_LINES:
+        if not line:
+            continue
+        fields = json.loads(line)
+        lem, unlemm = _proc_text(fields["passage"])
+        row = got[fields["pid"]]
+        assert row[C.ORIG_DOCID_FIELD] == fields["docid"]
+        assert row["text"] == lem
+        assert row["text_unlemm"] == unlemm
+        assert row["text_raw"] == fields["passage"]
+    # doc2pass recoding (convert_pass.py:121-133); ids sorted for determinism
+    d2p = {r[C.DOCID_FIELD]: r.pass_ids for r in C.msmarco_v2_doc2pass(entries).collect()}
+    assert d2p == {
+        "msmarco_doc_00_1": "msmarco_passage_00_1 msmarco_passage_00_2",
+        "msmarco_doc_00_2": "msmarco_passage_00_3",
+    }
+
+
+def test_msmarco_v2_passage_truncation_and_badjson(spark):
+    lines = spark.createDataFrame(
+        [
+            ('{"pid": "p1", "docid": "d1", "passage": "' + "y" * 50 + '"}',),
+            ("{not json at all",),
+        ],
+        "value string",
+    )
+    out = C.msmarco_v2_passages(lines, DICT, STOPS, max_pass_size=10).collect()
+    assert len(out) == 1  # bad JSON dropped
+    assert out[0]["text_raw"] == "y" * 10
+
+
+# --------------------------------------------------------------------------
+# Utility scripts: add_stemmed_field.py / split_queries.py /
+# filter_queries.py / merge_bsonl.py
+# --------------------------------------------------------------------------
+
+
+def test_add_stemmed_field_matches_parser(spark):
+    rows = [("d1", "the Running dogs walked"), ("d2", "maps & books!")]
+    entries = spark.createDataFrame(rows, f"{C.DOCID_FIELD} string, text_raw string")
+    got = {r[C.DOCID_FIELD]: r.text_stems for r in C.add_stemmed_field(entries, STOPS).collect()}
+    parser = KrovetzStemParser(STOPS)
+    for did, raw in rows:
+        assert got[did] == parser(raw)
+
+
+def test_split_queries_exact_sizes_and_qrels_routing(spark):
+    qs = spark.createDataFrame(
+        [(f"q{i}", f"text {i}") for i in range(10)], f"{C.DOCID_FIELD} string, text string"
+    )
+    out = C.split_queries(qs, [6, 3, 1], seed=5)
+    parts = {r[C.DOCID_FIELD]: r.part for r in out.collect()}
+    from collections import Counter
+
+    assert Counter(parts.values()) == {0: 6, 1: 3, 2: 1}
+    # deterministic: same seed → same assignment; different seed differs
+    again = {r[C.DOCID_FIELD]: r.part for r in C.split_queries(qs, [6, 3, 1], seed=5).collect()}
+    assert again == parts
+    other = {r[C.DOCID_FIELD]: r.part for r in C.split_queries(qs, [6, 3, 1], seed=6).collect()}
+    assert other != parts
+    with pytest.raises(ValueError):
+        C.split_queries(qs, [4, 4])
+    # qrels routing: unknown query ids dropped (reference miss_qty)
+    qrels = spark.createDataFrame(
+        [("q0", "d1", 1), ("q3", "d2", 0), ("zz", "d3", 1)],
+        "query_id string, doc_id string, grade int",
+    )
+    routed = {(r.query_id, r.doc_id): r.part for r in C.split_qrels(qrels, out).collect()}
+    assert routed == {("q0", "d1"): parts["q0"], ("q3", "d2"): parts["q3"]}
+
+
+def test_filter_queries_text_match(spark):
+    qs = spark.createDataFrame(
+        [("q1", "what is a cat"), ("q2", "maps of rome"), ("q3", None)],
+        f"{C.DOCID_FIELD} string, text string",
+    )
+    ig = spark.createDataFrame([("x9", "maps of rome")], f"{C.DOCID_FIELD} string, text string")
+    kept = {r[C.DOCID_FIELD] for r in C.filter_queries(qs, ig).collect()}
+    assert kept == {"q1"}  # q2 text-matched, q3 null text dropped
+
+
+def test_merge_entries_disjoint_fields(spark):
+    a = spark.createDataFrame([("d1", "t1"), ("d2", "t2")], f"{C.DOCID_FIELD} string, text string")
+    b = spark.createDataFrame([("d1", "s1"), ("d2", "s2")], f"{C.DOCID_FIELD} string, text_stems string")
+    got = {r[C.DOCID_FIELD]: (r.text, r.text_stems) for r in C.merge_entries(a, b).collect()}
+    assert got == {"d1": ("t1", "s1"), "d2": ("t2", "s2")}

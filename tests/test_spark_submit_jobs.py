@@ -179,3 +179,42 @@ def test_spark_submit_yahoo_answers_job(tmp_path):
 
     qrels = pq.read_table(f"{out_dir}/qrels").to_pandas().set_index("doc_id")
     assert qrels.loc["q1-0", "grade"] == 4 and qrels.loc["q1-1", "grade"] == 3
+
+
+def test_spark_submit_msmarco_v2_passages_job(tmp_path):
+    """convert_job.py --format msmarco_v2_passages from the shipped zip:
+    JSONL shard -> pass_entries + doc2pass parquet outputs."""
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    raw = tmp_path / "msmarco_passage_00.jsonl"
+    raw.write_text(
+        '{"pid": "p1", "docid": "d1", "passage": "the cats run fast"}\n'
+        '{"pid": "p2", "docid": "d1", "passage": "cats again"}\n'
+        '{"pid": "p3", "docid": "d2", "passage": "old maps"}\n'
+    )
+    out_dir = str(tmp_path / "out")
+    stdout = _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "convert_job.py"),
+            "--format", "msmarco_v2_passages",
+            "--input", str(raw),
+            "--output", out_dir,
+        ],
+        cwd=ROOT,
+    )
+    assert "converted 3 msmarco_v2 passage rows" in stdout
+    assert "converted 2 msmarco_v2 doc2pass rows" in stdout
+    import pyarrow.parquet as pq
+
+    entries = pq.read_table(f"{out_dir}/pass_entries").to_pandas().set_index("DOCNO")
+    assert set(entries.index) == {"p1", "p2", "p3"}
+    assert entries.loc["p1", "orig_docid"] == "d1"
+    d2p = pq.read_table(f"{out_dir}/doc2pass").to_pandas().set_index("DOCNO")
+    assert d2p.loc["d1", "pass_ids"] == "p1 p2"
+    assert d2p.loc["d2", "pass_ids"] == "p3"
