@@ -11,7 +11,8 @@
 
 Formats: msmarco_docs (4-field TSV), msmarco_queries (2-field TSV),
 msmarco_v2_docs (JSONL shards), msmarco_v2_passages (JSONL shards →
-pass_entries + doc2pass outputs),
+pass_entries + doc2pass outputs), irds_config (reference-shaped
+pipeline JSON over per-part parquet inputs),
 tsv_queries_krovetz (2-field TSV, Krovetz stem), cranfield
 (``.I``-record file), yahoo_answers (series-of-XML container →
 question/answer/qrel/bitext outputs), dpr_passages (3-field TSV),
@@ -35,6 +36,7 @@ FORMATS = [
     "yahoo_answers",
     "dpr_passages",
     "dpr_queries",
+    "irds_config",
 ]
 
 
@@ -60,6 +62,11 @@ def main() -> None:
     ap.add_argument(
         "--use-precomputed-negatives", action="store_true",
         help="dpr_queries: also emit grade-0 qrels from negative_ctxs",
+    )
+    ap.add_argument("--config", default=None, help="irds_config: pipeline JSON (reference shape)")
+    ap.add_argument(
+        "--part-input", default=[], nargs="*", metavar="PART=PARQUET",
+        help="irds_config: per-part input parquet paths",
     )
     args = ap.parse_args()
 
@@ -110,6 +117,23 @@ def main() -> None:
             print(f"converted {n} yahoo_answers {sub} rows to {args.output}/{sub}")
         if n_bad:
             print(f"WARNING: {n_bad} records failed to parse and were skipped")
+        spark.stop()
+        return
+
+    if args.format == "irds_config":
+        # configurable_convert.py shape: --config names the parts; each
+        # part's source rows come from --part-input PART=PARQUET
+        from flexneuart_spark.irds import convert_parts
+
+        if not args.config:
+            ap.error("--format irds_config requires --config")
+        inputs = dict(kv.split("=", 1) for kv in args.part_input)
+        written = convert_parts(
+            spark, args.config, inputs, args.output, bert_vocab=bert_vocab
+        )
+        for pname, out_dir in written.items():
+            n = spark.read.parquet(out_dir).count()
+            print(f"converted {n} irds {pname} rows to {out_dir}")
         spark.stop()
         return
 

@@ -218,3 +218,59 @@ def test_spark_submit_msmarco_v2_passages_job(tmp_path):
     d2p = pq.read_table(f"{out_dir}/doc2pass").to_pandas().set_index("DOCNO")
     assert d2p.loc["d1", "pass_ids"] == "p1 p2"
     assert d2p.loc["d2", "pass_ids"] == "p3"
+
+
+def test_spark_submit_irds_config_job(tmp_path):
+    """convert_job.py --format irds_config from the shipped zip: a
+    reference-shaped pipeline JSON over a per-part parquet input."""
+    import json
+
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps([
+        {
+            "part_name": "queries_all",
+            "dataset_name": "x/test",
+            "is_query": True,
+            "src_attributes": ["text"],
+            "pipeline": [
+                [
+                    {"name": "krovetz_stemmer", "args": {"input_fields": ["text"]}},
+                    {"name": "rename", "args": {"rename_dict": {"text": "text_raw"}}},
+                ],
+                [{"name": "rename", "args": {"rename_dict": {"text_raw": "text_raw", "text.stems": "text"}}}],
+            ],
+        }
+    ]))
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "queries.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"query_id": ["q1"], "text": ["the running cats"]})),
+        str(src),
+    )
+    out_dir = str(tmp_path / "out")
+    stdout = _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "convert_job.py"),
+            "--format", "irds_config",
+            "--config", str(cfg),
+            "--part-input", f"queries_all={src}",
+            "--input", str(src),  # unused by irds_config but required by the CLI
+            "--output", out_dir,
+        ],
+        cwd=ROOT,
+    )
+    assert "converted 1 irds queries_all rows" in stdout
+    t = pq.read_table(f"{out_dir}/queries_all").to_pandas().set_index("DOCNO")
+    assert t.loc["q1", "text_raw"] == "the running cats"
+    assert t.loc["q1", "text"] == "the run cat"
