@@ -179,12 +179,34 @@ def _feat_close_pair(
     return out.filter(F.col("score") != 0.0)
 
 
+def _feat_maxsim(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim over hash embeddings as a
+    fusion feature (the CEDR pattern — a neural matching score fused
+    with the classic features; ``flexneuart_spark.neural``)."""
+    from flexneuart_spark.neural.late_interaction import maxsim_scores
+
+    return maxsim_scores(docs_tok, q_tok)
+
+
+def _feat_knrm(docs_tok: DataFrame, q_tok: DataFrame, weights=None, bias: float = 0.0) -> DataFrame:
+    """KNRM kernel-pooled score as a fusion feature; ``weights`` defaults
+    to the committed entry weights (``plans/entries_neural.KNRM_W``)."""
+    from flexneuart_spark.neural.knrm import kernel_features, score_col
+
+    if weights is None:
+        from flexneuart_spark.plans.entries_neural import KNRM_W as weights
+    phi = kernel_features(docs_tok, q_tok)
+    return phi.select("query_id", "doc_id", score_col(list(weights), bias).alias("score"))
+
+
 FEATURES: dict[str, Callable[..., DataFrame]] = {
     "bm25": _feat_bm25,
     "term_match": _feat_term_match,
     "model1": _feat_model1,
     "cosine": _feat_cosine,
     "close_pair": _feat_close_pair,
+    "maxsim": _feat_maxsim,
+    "knrm": _feat_knrm,
 }
 
 

@@ -8,6 +8,7 @@ from flexneuart_spark.plans import entries_bert as _bert
 from flexneuart_spark.plans import entries_lmart as _lmart
 from flexneuart_spark.plans import entries_lemma as _lemma
 from flexneuart_spark.plans import entries_model1 as _m1
+from flexneuart_spark.plans import entries_neural as _neural
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
@@ -19,6 +20,7 @@ QUERIES_REG = {
     **_lmart.LMART_QUERIES_REG,
     **_lemma.LEMMA_QUERIES_REG,
     **_m1.MODEL1_QUERIES_REG,
+    **_neural.NEURAL_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
@@ -30,5 +32,6 @@ ORACLE_SQL = {
     **_lmart.LMART_ORACLE_SQL,
     **_lemma.LEMMA_ORACLE_SQL,
     **_m1.MODEL1_ORACLE_SQL,
+    **_neural.NEURAL_ORACLE_SQL,
 }
 

@@ -1,0 +1,228 @@
+"""Neural matching heads (``flexneuart_spark.neural``): hash-embedding
+cross-engine twins, relational-vs-Arrow kernel agreement, registry /
+serializer round-trip, trainable KNRM head, PPMI trained embeddings,
+NeuralRanker rerank integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flexneuart_spark.neural import load_model, model_registry, save_model
+from flexneuart_spark.neural.biencoder import BiEncoder, biencoder_scores, pooled_np
+from flexneuart_spark.neural.embeddings import (
+    HASH_DIM,
+    hash_embedding_col,
+    hash_embedding_np,
+    train_embeddings,
+)
+from flexneuart_spark.neural.knrm import KNRM, kernel_features, knrm_score_batch, score_col
+from flexneuart_spark.neural.late_interaction import MaxSim, maxsim_batch, maxsim_scores
+from flexneuart_spark.neural.ranker import NeuralRanker
+
+TERMS = ["hash", "join", "λ-calc", "ὕδωρ", "x", "", "0", "the"]
+
+
+def test_hash_embedding_spark_vs_numpy(spark):
+    df = spark.createDataFrame([(t,) for t in TERMS], ["term"])
+    got = {
+        r.term: np.array(r.emb)
+        for r in df.withColumn("emb", hash_embedding_col("term")).collect()
+    }
+    want = hash_embedding_np(TERMS)
+    for i, t in enumerate(TERMS):
+        assert np.allclose(got[t], want[i], atol=1e-12), t
+        assert abs(np.linalg.norm(got[t]) - 1.0) < 1e-9
+
+
+def _toy(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", ["hash", "join", "hash"]),
+            ("d2", ["join", "scan", "filter", "scan"]),
+            ("d3", ["window", "agg"]),
+            ("d4", ["hash"]),
+        ],
+        ["doc_id", "tokens"],
+    )
+    qs = spark.createDataFrame(
+        [("q1", ["hash", "join"]), ("q2", ["scan", "scan", "agg"])],
+        ["query_id", "tokens"],
+    )
+    return docs, qs
+
+
+def test_maxsim_relational_vs_arrow_kernel(spark):
+    docs, qs = _toy(spark)
+    rel = {
+        (r.query_id, r.doc_id): r.score
+        for r in maxsim_scores(docs, qs).collect()
+    }
+    dd = {r.doc_id: list(r.tokens) for r in docs.collect()}
+    for qid, qtoks in [("q1", ["hash", "join"]), ("q2", ["scan", "scan", "agg"])]:
+        ids = sorted(dd)
+        got = maxsim_batch([dd[d] for d in ids], sorted(set(qtoks)))
+        for d, g in zip(ids, got):
+            assert abs(rel[(qid, d)] - g) < 1e-9, (qid, d)
+
+
+def test_knrm_relational_vs_arrow_kernel(spark):
+    docs, qs = _toy(spark)
+    w = [0.05 * (k + 1) for k in range(11)]
+    phi = kernel_features(docs, qs)
+    rel = {
+        (r.query_id, r.doc_id): r.s
+        for r in phi.select("query_id", "doc_id", score_col(w).alias("s")).collect()
+    }
+    dd = {r.doc_id: list(r.tokens) for r in docs.collect()}
+    for qid, qtoks in [("q1", ["hash", "join"]), ("q2", ["scan", "scan", "agg"])]:
+        uq, qtf = np.unique(np.asarray(qtoks, dtype=object), return_counts=True)
+        ids = sorted(dd)
+        got = knrm_score_batch([dd[d] for d in ids], list(uq), qtf.astype(float), w)
+        for d, g in zip(ids, got):
+            assert abs(rel[(qid, d)] - g) < 1e-7, (qid, d, rel[(qid, d)], g)
+
+
+def test_registry_and_serializer_roundtrip(tmp_path):
+    assert {"knrm", "maxsim", "biencoder"} <= set(model_registry)
+    m = KNRM()
+    m.w = np.linspace(-1, 1, 11)
+    m.b = 0.25
+    p = str(tmp_path / "knrm.json")
+    save_model(m, p)
+    m2 = load_model(p)
+    assert isinstance(m2, KNRM)
+    phi = np.random.default_rng(0).standard_normal((5, 11))
+    assert np.allclose(m.score_features(phi), m2.score_features(phi))
+    # unknown model name rejected
+    import json
+
+    bad = dict(json.load(open(p)), model_name="nope")
+    bp = str(tmp_path / "bad.json")
+    json.dump(bad, open(bp, "w"))
+    with pytest.raises(ValueError, match="unknown model"):
+        load_model(bp)
+
+
+def test_knrm_training_recovers_from_adversarial_init(spark):
+    """Planted rule: the positive doc repeats a query term (higher exact
+    soft-TF); train from an ADVERSARIAL init (negative exact-match
+    weight) and require pairwise accuracy to flip from ~0 to ~1."""
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(50)]
+    rows_docs, rows_q, pos_neg = [], [], []
+    for qi in range(30):
+        qterm = vocab[int(rng.integers(0, 50))]
+        filler = [vocab[int(rng.integers(0, 50))] for _ in range(6)]
+        rows_q.append((f"q{qi}", [qterm]))
+        rows_docs.append((f"q{qi}_pos", [qterm, qterm, qterm] + filler))
+        rows_docs.append((f"q{qi}_neg", [qterm] + filler))
+        pos_neg.append((f"q{qi}", f"q{qi}_pos", f"q{qi}_neg"))
+    docs = spark.createDataFrame(rows_docs, ["doc_id", "tokens"])
+    qs = spark.createDataFrame(rows_q, ["query_id", "tokens"])
+    phi = kernel_features(docs, qs).toPandas()
+    phi_map = {
+        (r.query_id, r.doc_id): r[[f"phi{k}" for k in range(11)]].to_numpy(float)
+        for _, r in phi.iterrows()
+    }
+    P = np.array([phi_map[(q, p)] for q, p, _ in pos_neg])
+    N = np.array([phi_map[(q, n)] for q, _, n in pos_neg])
+
+    m = KNRM()
+    m.w = np.zeros(11)
+    m.w[-1] = -1.0  # adversarial: prefer the NON-repeating doc
+    acc0 = float(np.mean(m.score_features(P) > m.score_features(N)))
+    trace = m.fit_pairs(P, N)
+    acc1 = float(np.mean(m.score_features(P) > m.score_features(N)))
+    assert acc0 < 0.2 and acc1 > 0.9, (acc0, acc1)
+    assert trace[-1] < trace[0]
+
+
+def test_biencoder_pooled_twin(spark):
+    docs, qs = _toy(spark)
+    rel = {
+        (r.query_id, r.doc_id): r.score for r in biencoder_scores(docs, qs).collect()
+    }
+    dd = {r.doc_id: list(r.tokens) for r in docs.collect()}
+    qq = {r.query_id: list(r.tokens) for r in qs.collect()}
+    for (qid, did), s in rel.items():
+        qv = pooled_np([qq[qid]])[0]
+        dv = pooled_np([dd[did]])[0]
+        assert abs(s - float(qv @ dv)) < 1e-9
+
+
+def test_trained_embeddings_separate_cooccurrence_clusters(spark):
+    """Docs alternate between an {a,b,c}-world and an {x,y,z}-world;
+    PPMI+projection must place within-world terms closer."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, ["alpha", "beta", "gamma", "alpha", "beta"]))
+        else:
+            rows.append((i, ["xray", "yank", "zulu", "xray", "yank"]))
+    docs = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    emb = train_embeddings(docs, dim=8, window=3, vocab_size=10, min_count=1)
+    v = {r["term"]: np.array(r["vector"]) for _, r in emb.iterrows()}
+    within = float(v["alpha"] @ v["beta"])
+    across = float(v["alpha"] @ v["xray"])
+    assert within > across + 0.3, (within, across)
+    # determinism
+    emb2 = train_embeddings(docs, dim=8, window=3, vocab_size=10, min_count=1)
+    v2 = {r["term"]: np.array(r["vector"]) for _, r in emb2.iterrows()}
+    assert np.allclose(v["alpha"], v2["alpha"])
+
+
+def test_neural_ranker_rerank_and_mixing(spark):
+    docs, qs = _toy(spark)
+    run = spark.createDataFrame(
+        [
+            ("q1", "d3", 3.0, 1),
+            ("q1", "d2", 2.0, 2),
+            ("q1", "d1", 1.0, 3),
+            ("q1", "d4", 0.5, 4),
+        ],
+        ["query_id", "doc_id", "score", "rank"],
+    )
+    out = NeuralRanker(MaxSim()).rerank(run, docs, qs, top_r=3).toPandas()
+    assert set(out.columns) == {"query_id", "doc_id", "score", "rank"}
+    assert sorted(out["rank"]) == [1, 2, 3, 4]
+    by_rank = out.sort_values("rank")["doc_id"].tolist()
+    # d1 contains both q1 terms (maxsim = 2.0 exact) — must outrank d3
+    assert by_rank[0] == "d1"
+    assert by_rank[3] == "d4"  # tail (rank>3) stays below reranked head
+
+    # huge cand weight → original retrieval order preserved in the head
+    out2 = (
+        NeuralRanker(MaxSim(), cand_score_weight=1e6)
+        .rerank(run, docs, qs, top_r=3)
+        .toPandas()
+        .sort_values("rank")["doc_id"]
+        .tolist()
+    )
+    assert out2[:3] == ["d3", "d2", "d1"]
+
+    # serialized-path constructor (ranker/neural.py:73-80 shape)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "m.json")
+        save_model(MaxSim(), p)
+        out3 = NeuralRanker(p).rerank(run, docs, qs, top_r=3).toPandas()
+        assert out3.sort_values("rank")["doc_id"].tolist() == by_rank
+
+
+def test_feature_registry_neural_keys(spark):
+    from flexneuart_spark.operators.features import extract_features
+
+    docs, qs = _toy(spark)
+    feats = extract_features(
+        docs,
+        qs,
+        [
+            {"name": "f_maxsim", "feature": "maxsim"},
+            {"name": "f_knrm", "feature": "knrm"},
+        ],
+    ).toPandas()
+    assert {"f_maxsim", "f_knrm"} <= set(feats.columns)
+    assert len(feats) == 8  # 2 queries x 4 docs (maxsim scores all pairs)
