@@ -34,6 +34,10 @@ TermMatchSimilarity         term_match  —
 Model1Similarity            model1      lambda→lambda_, minModel1Prob→
                                         min_prob (needs ``tran=``)
 BM25ClosePairSimilarity     close_pair  queryWindow, docWindow, k1, b
+AvgWordEmbed                biencoder   — (pooled hash embeddings)
+ExternalThrift              knrm/maxsim scorerType picks the in-process
+                                        neural head (the Thrift feature
+                                        server analogue)
 =========================  ==========  =================================
 
 ``load_extractor_config`` / ``dump_extractor_config`` round-trip the
@@ -105,6 +109,19 @@ def load_extractor_config(src) -> list[dict]:
                 conf["lambda_"] = _num(params["lambda"])
             if "minModel1Prob" in params:
                 conf["min_prob"] = _num(params["minModel1Prob"])
+        elif typ == "AvgWordEmbed":
+            # FeatExtrWordEmbedSimilarity.java:40 — averaged word-embedding
+            # inner product; served by the pooled bi-encoder head
+            conf = {"name": name, "feature": "biencoder"}
+        elif typ == "ExternalThrift":
+            # FeatExtractorExternalApacheThrift.java:83 — the slot the
+            # reference points at external neural scorers; here the
+            # scorer runs in-process (Arrow pandas UDFs). ``scorerType``
+            # picks the head: knrm (default) or maxsim.
+            scorer = str(params.get("scorerType", "knrm"))
+            if scorer not in ("knrm", "maxsim"):
+                raise ValueError(f"extractor {i}: unknown scorerType {scorer!r}")
+            conf = {"name": name, "feature": scorer}
         elif typ == "BM25ClosePairSimilarity":
             conf = {"name": name, "feature": "close_pair"}
             for src_key, dst_key in (
@@ -165,6 +182,10 @@ def dump_extractor_config(config: list[dict]) -> list[dict]:
             if "b" in conf:
                 params["b"] = str(conf["b"])
             out.append({"type": "BM25ClosePairSimilarity", "params": params})
+        elif feat == "biencoder":
+            out.append({"type": "AvgWordEmbed", "params": {"indexFieldName": "text"}})
+        elif feat in ("knrm", "maxsim"):
+            out.append({"type": "ExternalThrift", "params": {"scorerType": feat}})
         else:
             raise ValueError(f"unknown feature {feat!r}")
     return out

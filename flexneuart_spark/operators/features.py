@@ -199,6 +199,15 @@ def _feat_knrm(docs_tok: DataFrame, q_tok: DataFrame, weights=None, bias: float 
     return phi.select("query_id", "doc_id", score_col(list(weights), bias).alias("score"))
 
 
+def _feat_biencoder(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
+    """Mean-pooled embedding similarity — the in-engine analogue of the
+    reference's averaged-word-embedding extractor
+    (``FeatExtrWordEmbedSimilarity.java:40`` — EXTR_TYPE ``AvgWordEmbed``)."""
+    from flexneuart_spark.neural.biencoder import biencoder_scores
+
+    return biencoder_scores(docs_tok, q_tok)
+
+
 FEATURES: dict[str, Callable[..., DataFrame]] = {
     "bm25": _feat_bm25,
     "term_match": _feat_term_match,
@@ -207,6 +216,7 @@ FEATURES: dict[str, Callable[..., DataFrame]] = {
     "close_pair": _feat_close_pair,
     "maxsim": _feat_maxsim,
     "knrm": _feat_knrm,
+    "biencoder": _feat_biencoder,
 }
 
 

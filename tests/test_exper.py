@@ -56,6 +56,30 @@ def test_extractor_config_roundtrip(tmp_path):
     assert E.dump_extractor_config(config) == REF_EXTRACTORS
 
 
+def test_extractor_config_neural_types(tmp_path):
+    """AvgWordEmbed → biencoder, ExternalThrift → the in-process neural
+    heads (FeatExtrWordEmbedSimilarity.java:40,
+    FeatExtractorExternalApacheThrift.java:83)."""
+    ref = [
+        {"type": "AvgWordEmbed", "params": {"indexFieldName": "text"}},
+        {"type": "ExternalThrift", "params": {"scorerType": "maxsim"}},
+        {"type": "ExternalThrift", "params": {}},  # default scorer: knrm
+    ]
+    config = E.load_extractor_config(json.dumps(ref))
+    assert [c["feature"] for c in config] == ["biencoder", "maxsim", "knrm"]
+    assert E.dump_extractor_config(config) == ref
+    # hand-built configs re-encode to the reference names
+    rt = E.dump_extractor_config(
+        [{"name": "f1", "feature": "knrm"}, {"name": "f2", "feature": "biencoder"}]
+    )
+    assert rt[0] == {"type": "ExternalThrift", "params": {"scorerType": "knrm"}}
+    assert rt[1]["type"] == "AvgWordEmbed"
+    with pytest.raises(ValueError, match="scorerType"):
+        E.load_extractor_config(
+            json.dumps([{"type": "ExternalThrift", "params": {"scorerType": "bert"}}])
+        )
+
+
 def test_dump_hand_built_config():
     config = [
         {"name": "f1", "feature": "bm25", "k1": 1.2, "b": 0.75},
