@@ -183,6 +183,49 @@ def test_run_experiment_ca_beats_bm25(spark, tmp_path):
         assert g[2] == pytest.approx(w[2], rel=1e-9)  # scores through the text model file
 
 
+def test_run_experiment_neural_fusion(spark, tmp_path):
+    """CEDR pattern e2e: a descriptor whose second extractor is the
+    in-process neural scorer (ExternalThrift → MaxSim late interaction)
+    fused with BM25 — the neural term-coverage signal (3/3 exact-match
+    maxima vs the distractor's 2/3) must fix BM25's tf-saturation
+    misranking, descriptor-driven end-to-end."""
+    from flexneuart_spark.index.builder import build_index
+
+    docs, queries, qrels_rows = _collection(6)
+    corpus = spark.createDataFrame(docs, "doc_id string, content string")
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), num_shards=4, tokenizer="whitespace")
+    qrels = spark.createDataFrame(qrels_rows, "query_id string, doc_id string, grade int")
+
+    desc = {
+        "experSubdir": "neural_fusion",
+        "extrType": json.dumps(
+            [
+                {"type": "TFIDFSimilarity",
+                 "params": {"k1": "1.2", "b": "0.75", "similType": "bm25"}},
+                {"type": "ExternalThrift", "params": {"scorerType": "maxsim"}},
+            ]
+        ),
+        "candProvAddConfParam": {"k1": "1.2", "b": "0.75"},
+        "useLMART": 0,
+        "trainCandQty": 10,
+        "testCandQty": 10,
+        "metricType": "map",
+        "numRandRestart": 2,
+    }
+    res = E.run_experiment(
+        spark,
+        desc,
+        index=idx,
+        train_queries=queries[:3],
+        test_queries=queries[3:],
+        qrels=qrels,
+        out_dir=str(tmp_path),
+        tokenizer="whitespace",
+    )
+    assert res["baseline_metrics"]["map"] < 1.0
+    assert res["metrics"]["map"] > res["baseline_metrics"]["map"]
+
+
 def test_run_experiment_lambdamart(spark, tmp_path):
     from flexneuart_spark.index.builder import build_index
 
