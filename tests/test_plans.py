@@ -120,3 +120,31 @@ def test_warmed_query_has_no_exchange_before_kernel(spark, tables):
     p = _plan(scored)
     assert "InMemoryTableScan" in p, p
     assert "Exchange" not in p.split("InMemoryTableScan")[0], p
+
+
+def test_neural_entries_plan_shape(spark):
+    """Neural entry plans keep the scale-safe shape: the all-pairs term
+    product is a BroadcastNestedLoopJoin on the tiny query-term side
+    (never a shuffled CartesianProduct), every groupBy partial-aggregates
+    map-side, and the hash embedding stays a JVM expression (no
+    PythonUDF / ArrowEval node anywhere in the entry plans)."""
+    docs = spark.createDataFrame(
+        [(f"d{i}", ["hash", "join", f"t{i}"]) for i in range(20)],
+        ["doc_id", "tokens"],
+    )
+    qs = spark.createDataFrame([("q1", ["hash", "scan"])], ["query_id", "tokens"])
+
+    from flexneuart_spark.neural.knrm import kernel_features
+    from flexneuart_spark.neural.late_interaction import maxsim_scores
+    from flexneuart_spark.neural.biencoder import biencoder_scores
+
+    for df in (maxsim_scores(docs, qs), kernel_features(docs, qs)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan.lower()  # map-side combine before exchange
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+    plan = _plan(biencoder_scores(docs, qs))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
