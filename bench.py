@@ -61,6 +61,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_pq_ann",
     "emb_ivfpq_ann",
+    "colbert_maxsim",
     "krovetz_stem",
     "text_quality",
     "events_minutely",

@@ -33,13 +33,22 @@ from flexneuart_spark.neural.embeddings import (
 
 def _pooled(tok_df: DataFrame, id_col: str) -> DataFrame:
     """Mean-pool hash embeddings over token POSITIONS (tf-weighted),
-    then L2-normalize: one explode + one groupBy."""
-    exploded = tok_df.select(id_col, F.explode("tokens").alias("term")).withColumn(
-        "emb", hash_embedding_col("term")
+    then L2-normalize. The md5 embedding is computed once per DISTINCT
+    term (vocabulary-sized) and equi-joined to the per-(id, term) tf
+    rows — corpus-sized work is one join + one partial-aggregated
+    groupBy, never per-position hashing."""
+    cnt = (
+        tok_df.select(id_col, F.explode("tokens").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
     )
-    sums = exploded.groupBy(id_col).agg(
-        *[F.sum(F.element_at("emb", j + 1)).alias(f"s{j}") for j in range(HASH_DIM)],
-        F.count("*").alias("n"),
+    emb = cnt.select("term").distinct().withColumn("emb", hash_embedding_col("term"))
+    sums = cnt.join(emb, "term").groupBy(id_col).agg(
+        *[
+            F.sum(F.col("tf") * F.element_at("emb", j + 1)).alias(f"s{j}")
+            for j in range(HASH_DIM)
+        ],
+        F.sum("tf").alias("n"),
     )
     mean = [F.col(f"s{j}") / F.col("n") for j in range(HASH_DIM)]
     sq = mean[0] * mean[0]

@@ -46,58 +46,64 @@ LOG_FLOOR = 1e-10  # KNRM's soft-TF log clamp
 def kernel_features(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
     """Per (query_id, doc_id): the K pooled kernel features ``phi_0..K-1``.
 
-    Plan: doc tf table ⋈ (broadcast) query-term table — every (query
-    term, doc term) combination once per doc — then the two KNRM
-    reductions as groupBy aggregations:
+    Scale shape — the two KNRM reductions as groupBy aggregations:
 
       soft-TF:  k_k(qt, d) = Σ_{dt} tf(d, dt) · exp(−(cos−μ_k)²/2σ_k²)
       pooled:   φ_k(q, d)  = Σ_{qt} qtf · ln(max(k_k, 1e-10))
 
-    Embeddings are md5-hash unit vectors computed inline as JVM
-    expressions — no embedding table, no extra shuffle; the only wide
-    exchanges are the two groupBys, both partial-aggregated map-side.
+    The RBF kernel values depend ONLY on the (doc term, query term)
+    pair, so all md5 hashing, cosines, and the 11 exp() evaluations run
+    on the V×Q vocabulary table (broadcast nested-loop against the tiny
+    distinct-query-term side), never on the O(corpus·Q) pair rows; the
+    corpus-sized work is one equi-join on term + two partial-aggregated
+    groupBys. The first soft-TF grouping is per (doc_id, qterm) —
+    queries sharing a term share the aggregation.
     """
     tf = (
-        docs_tok.select("doc_id", F.explode("tokens").alias("dterm"))
-        .groupBy("doc_id", "dterm")
+        docs_tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("demb", hash_embedding_col("dterm"))
     )
     qt = (
         q_tok.select("query_id", F.explode("tokens").alias("qterm"))
         .groupBy("query_id", "qterm")
         .agg(F.count("*").alias("qtf"))
-        .withColumn("qemb", hash_embedding_col("qterm"))
     )
-    # KNRM semantics genuinely need every (query term × doc term)
-    # combination; the broadcast side is the query-term table (tiny),
-    # so this is a broadcast nested loop, never a shuffled product.
-    pairs = tf.crossJoin(F.broadcast(qt)).withColumn(
-        "cosm", hash_dot_col(F.col("qemb"), F.col("demb"))
-    )
-    soft = pairs.groupBy("query_id", "qterm", "qtf", "doc_id").agg(
+    demb = tf.select("term").distinct().withColumn("demb", hash_embedding_col("term"))
+    qemb = qt.select("qterm").distinct().withColumn("qemb", hash_embedding_col("qterm"))
+    cosm = hash_dot_col(F.col("qemb"), F.col("demb"))
+    kern = demb.crossJoin(F.broadcast(qemb)).select(
+        "term",
+        "qterm",
         *[
-            F.sum(
-                F.col("tf")
-                * F.exp(
-                    -(
-                        (F.col("cosm") - F.lit(mu))
-                        * (F.col("cosm") - F.lit(mu))
-                    )
-                    / F.lit(2.0 * sg * sg)
-                )
-            ).alias(f"k{k}")
+            F.exp(
+                -((cosm - F.lit(mu)) * (cosm - F.lit(mu))) / F.lit(2.0 * sg * sg)
+            ).alias(f"rbf{k}")
             for k, (mu, sg) in enumerate(zip(MUS, SIGMAS))
-        ]
+        ],
     )
-    return soft.groupBy("query_id", "doc_id").agg(
-        *[
-            F.sum(
-                F.col("qtf")
-                * F.log(F.greatest(F.col(f"k{k}"), F.lit(LOG_FLOOR)))
-            ).alias(f"phi{k}")
-            for k in range(N_KERNELS)
-        ]
+    soft = (
+        tf.join(kern, "term")
+        .groupBy("doc_id", "qterm")
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.col(f"rbf{k}")).alias(f"k{k}")
+                for k in range(N_KERNELS)
+            ]
+        )
+    )
+    return (
+        soft.join(F.broadcast(qt), "qterm")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.col("qtf")
+                    * F.log(F.greatest(F.col(f"k{k}"), F.lit(LOG_FLOOR)))
+                ).alias(f"phi{k}")
+                for k in range(N_KERNELS)
+            ]
+        )
     )
 
 

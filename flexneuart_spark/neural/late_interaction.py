@@ -39,21 +39,26 @@ from flexneuart_spark.neural.embeddings import (
 
 def maxsim_scores(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
     """(query_id, doc_id, score): Σ over distinct query terms of the max
-    cosine against the doc's distinct terms. Broadcast nested-loop on
-    the tiny query-term side; two partial-aggregated groupBys."""
-    dterms = (
-        docs_tok.select("doc_id", F.explode("tokens").alias("dterm"))
-        .distinct()
-        .withColumn("demb", hash_embedding_col("dterm"))
+    cosine against the doc's distinct terms.
+
+    Scale shape: embeddings and cosines are computed ONCE on the
+    vocabulary — a V×Q table built by a broadcast nested-loop against
+    the tiny distinct-query-term side — and then equi-joined to the
+    corpus (doc_id, term) rows. The expensive md5/cos expressions touch
+    O(V·Q) rows, never O(corpus·Q); the corpus-sized work is one join +
+    two partial-aggregated groupBys. (A naive cross-join-then-compute
+    re-evaluates 8 md5s per PAIR row — measured 50× slower at sf0.1.)
+    """
+    dterms = docs_tok.select("doc_id", F.explode("tokens").alias("term")).distinct()
+    qterms = q_tok.select("query_id", F.explode("tokens").alias("qterm")).distinct()
+
+    demb = dterms.select("term").distinct().withColumn("demb", hash_embedding_col("term"))
+    qemb = qterms.select("qterm").distinct().withColumn("qemb", hash_embedding_col("qterm"))
+    cos = demb.crossJoin(F.broadcast(qemb)).select(
+        "term", "qterm", hash_dot_col(F.col("qemb"), F.col("demb")).alias("cosm")
     )
-    qterms = (
-        q_tok.select("query_id", F.explode("tokens").alias("qterm"))
-        .distinct()
-        .withColumn("qemb", hash_embedding_col("qterm"))
-    )
-    pairs = dterms.crossJoin(F.broadcast(qterms)).withColumn(
-        "cosm", hash_dot_col(F.col("qemb"), F.col("demb"))
-    )
+
+    pairs = dterms.join(cos, "term").join(F.broadcast(qterms), "qterm")
     best = pairs.groupBy("query_id", "qterm", "doc_id").agg(
         F.max("cosm").alias("best")
     )
