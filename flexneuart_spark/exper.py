@@ -36,7 +36,7 @@ Model1Similarity            model1      lambda→lambda_, minModel1Prob→
 BM25ClosePairSimilarity     close_pair  queryWindow, docWindow, k1, b
 AvgWordEmbed                biencoder   — (pooled hash embeddings)
 ExternalThrift              knrm/maxsim scorerType picks the in-process
-                                        neural head (the Thrift feature
+                            /drmm       neural head (the Thrift feature
                                         server analogue)
 =========================  ==========  =================================
 
@@ -119,7 +119,7 @@ def load_extractor_config(src) -> list[dict]:
             # scorer runs in-process (Arrow pandas UDFs). ``scorerType``
             # picks the head: knrm (default) or maxsim.
             scorer = str(params.get("scorerType", "knrm"))
-            if scorer not in ("knrm", "maxsim"):
+            if scorer not in ("knrm", "maxsim", "drmm"):
                 raise ValueError(f"extractor {i}: unknown scorerType {scorer!r}")
             conf = {"name": name, "feature": scorer}
         elif typ == "BM25ClosePairSimilarity":
@@ -184,7 +184,7 @@ def dump_extractor_config(config: list[dict]) -> list[dict]:
             out.append({"type": "BM25ClosePairSimilarity", "params": params})
         elif feat == "biencoder":
             out.append({"type": "AvgWordEmbed", "params": {"indexFieldName": "text"}})
-        elif feat in ("knrm", "maxsim"):
+        elif feat in ("knrm", "maxsim", "drmm"):
             out.append({"type": "ExternalThrift", "params": {"scorerType": feat}})
         else:
             raise ValueError(f"unknown feature {feat!r}")

@@ -13,6 +13,9 @@ registry / serializer / ranker API shapes:
 - ``embeddings``      — term-vector providers (hash + trained)
 - ``knrm``            — KNRM RBF kernel pooling (CEDR's classic head,
                         ``flexneuart/models/cedr/cedr_knrm.py:28-49``)
+- ``drmm``            — DRMM matching-histogram pooling (CEDR's other
+                        classic head, ``models/cedr/cedr_drmm.py:29-48``,
+                        ``models/cedr/utils.py:70-97``)
 - ``late_interaction``— ColBERT MaxSim (``models/colbert/colbert.py:124``,
                         ``models/base_bert_late_interaction.py``)
 - ``biencoder``       — mean-pooled dual encoder
@@ -95,4 +98,4 @@ def load_model(path: str):
     return model
 
 
-from flexneuart_spark.neural import biencoder, knrm, late_interaction  # noqa: E402,F401
+from flexneuart_spark.neural import biencoder, drmm, knrm, late_interaction  # noqa: E402,F401

@@ -199,6 +199,18 @@ def _feat_knrm(docs_tok: DataFrame, q_tok: DataFrame, weights=None, bias: float 
     return phi.select("query_id", "doc_id", score_col(list(weights), bias).alias("score"))
 
 
+def _feat_drmm(docs_tok: DataFrame, q_tok: DataFrame, weights=None, bias: float = 0.0) -> DataFrame:
+    """DRMM matching-histogram score as a fusion feature; ``weights``
+    defaults to the committed entry weights
+    (``plans/entries_neural.DRMM_W``)."""
+    from flexneuart_spark.neural.drmm import histogram_features, score_col
+
+    if weights is None:
+        from flexneuart_spark.plans.entries_neural import DRMM_W as weights
+    phi = histogram_features(docs_tok, q_tok)
+    return phi.select("query_id", "doc_id", score_col(list(weights), bias).alias("score"))
+
+
 def _feat_biencoder(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
     """Mean-pooled embedding similarity — the in-engine analogue of the
     reference's averaged-word-embedding extractor
@@ -216,6 +228,7 @@ FEATURES: dict[str, Callable[..., DataFrame]] = {
     "close_pair": _feat_close_pair,
     "maxsim": _feat_maxsim,
     "knrm": _feat_knrm,
+    "drmm": _feat_drmm,
     "biencoder": _feat_biencoder,
 }
 

@@ -16,12 +16,17 @@ Entries:
                         (``models/biencoder/sbert.py``)
 - ``knrm_score``      — KNRM RBF kernel pooling with fixed (committed)
                         combine weights (``models/cedr/cedr_knrm.py:28-49``)
+- ``drmm_score``      — DRMM matching-histogram pooling with fixed
+                        (committed) combine weights
+                        (``models/cedr/cedr_drmm.py:29-48``,
+                        ``models/cedr/utils.py:70-97``)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flexneuart_spark.neural import drmm
 from flexneuart_spark.neural.biencoder import biencoder_scores, sql_biencoder
 from flexneuart_spark.neural.knrm import N_KERNELS, kernel_features, score_col, sql_kernel_features
 from flexneuart_spark.neural.late_interaction import maxsim_scores, sql_maxsim
@@ -103,13 +108,41 @@ WITH {SQL_TOK}, {SQL_QTOK}, {sql_kernel_features().lstrip().lstrip(',')}
 """
 
 
+# Committed DRMM combine weights: monotone ramp over the soft bins, the
+# top (near-exact-match) bin dominates — the shape a trained DRMM
+# converges to on keyword-ish relevance.
+DRMM_W = [0.01 * (b + 1) for b in range(drmm.NBINS - 1)] + [1.0]
+
+
+def q_drmm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRMM histogram-pooled top-k with the committed combine weights."""
+    phi = drmm.histogram_features(_doc_tokens(spark, sf_dir), _queries_df(spark))
+    scored = phi.select(
+        "query_id", "doc_id", drmm.score_col(DRMM_W).alias("score")
+    )
+    return _rounded_topk(scored, "score", k=K)
+
+
+_DRMM_SCORE_EXPR = " + ".join(f"({w}) * phi{b}" for b, w in enumerate(DRMM_W))
+
+SQL_DRMM_SCORE = f"""
+WITH {SQL_TOK}, {SQL_QTOK}, {drmm.sql_histogram_features().lstrip().lstrip(',')}
+, scored_final AS (
+  SELECT query_id, doc_id, {_DRMM_SCORE_EXPR} AS score FROM hphi
+)
+{_SQL_TOPK_TAIL}
+"""
+
+
 NEURAL_QUERIES_REG = {
     "colbert_maxsim": q_colbert_maxsim,
     "biencoder_topk": q_biencoder_topk,
     "knrm_score": q_knrm_score,
+    "drmm_score": q_drmm_score,
 }
 NEURAL_ORACLE_SQL = {
     "colbert_maxsim": SQL_COLBERT_MAXSIM,
     "biencoder_topk": SQL_BIENCODER_TOPK,
     "knrm_score": SQL_KNRM_SCORE,
+    "drmm_score": SQL_DRMM_SCORE,
 }

@@ -64,9 +64,10 @@ def test_extractor_config_neural_types(tmp_path):
         {"type": "AvgWordEmbed", "params": {"indexFieldName": "text"}},
         {"type": "ExternalThrift", "params": {"scorerType": "maxsim"}},
         {"type": "ExternalThrift", "params": {}},  # default scorer: knrm
+        {"type": "ExternalThrift", "params": {"scorerType": "drmm"}},
     ]
     config = E.load_extractor_config(json.dumps(ref))
-    assert [c["feature"] for c in config] == ["biencoder", "maxsim", "knrm"]
+    assert [c["feature"] for c in config] == ["biencoder", "maxsim", "knrm", "drmm"]
     assert E.dump_extractor_config(config) == ref
     # hand-built configs re-encode to the reference names
     rt = E.dump_extractor_config(

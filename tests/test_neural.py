@@ -17,6 +17,13 @@ from flexneuart_spark.neural.embeddings import (
     hash_embedding_np,
     train_embeddings,
 )
+from flexneuart_spark.neural.drmm import (
+    DRMM,
+    NBINS,
+    drmm_score_batch,
+    histogram_features,
+)
+from flexneuart_spark.neural.drmm import score_col as drmm_score_col
 from flexneuart_spark.neural.knrm import KNRM, kernel_features, knrm_score_batch, score_col
 from flexneuart_spark.neural.late_interaction import MaxSim, maxsim_batch, maxsim_scores
 from flexneuart_spark.neural.ranker import NeuralRanker
@@ -84,8 +91,74 @@ def test_knrm_relational_vs_arrow_kernel(spark):
             assert abs(rel[(qid, d)] - g) < 1e-7, (qid, d, rel[(qid, d)], g)
 
 
+def test_drmm_relational_vs_arrow_kernel(spark):
+    docs, qs = _toy(spark)
+    w = [0.05 * (b + 1) for b in range(NBINS)]
+    phi = histogram_features(docs, qs)
+    rel = {
+        (r.query_id, r.doc_id): r.s
+        for r in phi.select(
+            "query_id", "doc_id", drmm_score_col(w).alias("s")
+        ).collect()
+    }
+    dd = {r.doc_id: list(r.tokens) for r in docs.collect()}
+    for qid, qtoks in [("q1", ["hash", "join"]), ("q2", ["scan", "scan", "agg"])]:
+        uq, qtf = np.unique(np.asarray(qtoks, dtype=object), return_counts=True)
+        ids = sorted(dd)
+        got = drmm_score_batch([dd[d] for d in ids], list(uq), qtf.astype(float), w)
+        for d, g in zip(ids, got):
+            assert abs(rel[(qid, d)] - g) < 1e-9, (qid, d)
+
+
+def test_drmm_histogram_semantics(spark):
+    """Counting semantics pinned to the reference bin rule
+    (utils.py:79,97): an exact-match query term puts its doc-tf in the
+    TOP bin; total histogram mass per (qterm, doc) is the doc length."""
+    docs = spark.createDataFrame([("d1", ["hash", "hash", "join"])], ["doc_id", "tokens"])
+    qs = spark.createDataFrame([("q1", ["hash"])], ["query_id", "tokens"])
+    row = histogram_features(docs, qs).collect()[0]
+    phis = np.array([row[f"phi{b}"] for b in range(NBINS)])
+    # qtf=1 → phi_b = ln(h_b + 1e-5); invert
+    hist = np.exp(phis) - 1e-5
+    assert abs(hist[-1] - 2.0) < 1e-6  # exact match: tf("hash")=2 in top bin
+    assert abs(hist.sum() - 3.0) < 1e-5  # mass = doc length
+
+
+def test_drmm_training_recovers_from_adversarial_init(spark):
+    """Same planted rule as the KNRM test — the positive doc repeats the
+    query term — trained through the inherited convex fit_pairs."""
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(50)]
+    rows_docs, rows_q, pos_neg = [], [], []
+    for qi in range(30):
+        qterm = vocab[int(rng.integers(0, 50))]
+        filler = [vocab[int(rng.integers(0, 50))] for _ in range(6)]
+        rows_q.append((f"q{qi}", [qterm]))
+        rows_docs.append((f"q{qi}_pos", [qterm, qterm, qterm] + filler))
+        rows_docs.append((f"q{qi}_neg", [qterm] + filler))
+        pos_neg.append((f"q{qi}", f"q{qi}_pos", f"q{qi}_neg"))
+    docs = spark.createDataFrame(rows_docs, ["doc_id", "tokens"])
+    qs = spark.createDataFrame(rows_q, ["query_id", "tokens"])
+    phi = histogram_features(docs, qs).toPandas()
+    phi_map = {
+        (r.query_id, r.doc_id): r[[f"phi{b}" for b in range(NBINS)]].to_numpy(float)
+        for _, r in phi.iterrows()
+    }
+    P = np.array([phi_map[(q, p)] for q, p, _ in pos_neg])
+    N = np.array([phi_map[(q, n)] for q, _, n in pos_neg])
+
+    m = DRMM()
+    m.w = np.zeros(NBINS)
+    m.w[-1] = -1.0  # adversarial: prefer the NON-repeating doc
+    acc0 = float(np.mean(m.score_features(P) > m.score_features(N)))
+    trace = m.fit_pairs(P, N)
+    acc1 = float(np.mean(m.score_features(P) > m.score_features(N)))
+    assert acc0 < 0.2 and acc1 > 0.9, (acc0, acc1)
+    assert trace[-1] < trace[0]
+
+
 def test_registry_and_serializer_roundtrip(tmp_path):
-    assert {"knrm", "maxsim", "biencoder"} <= set(model_registry)
+    assert {"knrm", "maxsim", "biencoder", "cedr_drmm"} <= set(model_registry)
     m = KNRM()
     m.w = np.linspace(-1, 1, 11)
     m.b = 0.25
@@ -103,6 +176,14 @@ def test_registry_and_serializer_roundtrip(tmp_path):
     json.dump(bad, open(bp, "w"))
     with pytest.raises(ValueError, match="unknown model"):
         load_model(bp)
+    # DRMM round-trips through the same serializer
+    dm = DRMM()
+    dm.w = np.linspace(0, 1, NBINS)
+    dp = str(tmp_path / "drmm.json")
+    save_model(dm, dp)
+    dm2 = load_model(dp)
+    assert isinstance(dm2, DRMM)
+    assert np.allclose(dm2.w, dm.w)
 
 
 def test_knrm_training_recovers_from_adversarial_init(spark):

@@ -137,8 +137,9 @@ def test_neural_entries_plan_shape(spark):
     from flexneuart_spark.neural.knrm import kernel_features
     from flexneuart_spark.neural.late_interaction import maxsim_scores
     from flexneuart_spark.neural.biencoder import biencoder_scores
+    from flexneuart_spark.neural.drmm import histogram_features
 
-    for df in (maxsim_scores(docs, qs), kernel_features(docs, qs)):
+    for df in (maxsim_scores(docs, qs), kernel_features(docs, qs), histogram_features(docs, qs)):
         plan = _plan(df)
         assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
         assert "CartesianProduct" not in plan
