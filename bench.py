@@ -62,6 +62,7 @@ HEADLINE = [
     "emb_pq_ann",
     "emb_ivfpq_ann",
     "colbert_maxsim",
+    "rm3_rerank",
     "krovetz_stem",
     "text_quality",
     "events_minutely",

@@ -34,6 +34,8 @@ TermMatchSimilarity         term_match  —
 Model1Similarity            model1      lambda→lambda_, minModel1Prob→
                                         min_prob (needs ``tran=``)
 BM25ClosePairSimilarity     close_pair  queryWindow, docWindow, k1, b
+RM3Similarity               rm3         topDocQty, topTermQty,
+                                        origWeight, k1, b
 AvgWordEmbed                biencoder   — (pooled hash embeddings)
 ExternalThrift              knrm/maxsim scorerType picks the in-process
                             /drmm       neural head (the Thrift feature
@@ -122,6 +124,20 @@ def load_extractor_config(src) -> list[dict]:
             if scorer not in ("knrm", "maxsim", "drmm"):
                 raise ValueError(f"extractor {i}: unknown scorerType {scorer!r}")
             conf = {"name": name, "feature": scorer}
+        elif typ == "RM3Similarity":
+            # FeatExtractorRM3Similarity.java:46-70 — required params
+            # topDocQty/topTermQty/origWeight, optional k1/b
+            conf = {"name": name, "feature": "rm3"}
+            for src_key, dst_key in (
+                ("topDocQty", "top_doc_qty"),
+                ("topTermQty", "top_term_qty"),
+                ("origWeight", "orig_weight"),
+                ("k1", "k1"),
+                ("b", "b"),
+            ):
+                if src_key in params:
+                    v = _num(params[src_key])
+                    conf[dst_key] = int(v) if dst_key.endswith("_qty") else v
         elif typ == "BM25ClosePairSimilarity":
             conf = {"name": name, "feature": "close_pair"}
             for src_key, dst_key in (
@@ -184,6 +200,18 @@ def dump_extractor_config(config: list[dict]) -> list[dict]:
             out.append({"type": "BM25ClosePairSimilarity", "params": params})
         elif feat == "biencoder":
             out.append({"type": "AvgWordEmbed", "params": {"indexFieldName": "text"}})
+        elif feat == "rm3":
+            params = {"indexFieldName": "text"}
+            for dst_key, src_key in (
+                ("topDocQty", "top_doc_qty"),
+                ("topTermQty", "top_term_qty"),
+                ("origWeight", "orig_weight"),
+                ("k1", "k1"),
+                ("b", "b"),
+            ):
+                if src_key in conf:
+                    params[dst_key] = str(conf[src_key])
+            out.append({"type": "RM3Similarity", "params": params})
         elif feat in ("knrm", "maxsim", "drmm"):
             out.append({"type": "ExternalThrift", "params": {"scorerType": feat}})
         else:
@@ -221,11 +249,16 @@ def run_experiment(
     tran: DataFrame | None = None,
     tokenizer: str = "code",
     seed: int = 42,
+    base_dir: str | None = None,
 ) -> dict:
     """One experiment, the ``run_one_experiment.sh`` stage order.
 
     ``descriptor``: path or dict in the reference's experiment-JSON
-    shape. ``index``: an ``IndexTables`` (or index dir) for the
+    shape — including the ``gen_desc`` generators' output
+    (``extrTypeFinal`` accepted as an alias of ``extrType``; pass
+    ``base_dir=`` to resolve their collection-relative
+    extractor/model/candidate-config paths). ``index``: an
+    ``IndexTables`` (or index dir) for the
     candidate provider AND the forward index that features are computed
     from (the reference extracts features from the same collection's
     forward index). ``qrels``: (query_id, doc_id, grade).
@@ -255,8 +288,23 @@ def run_experiment(
     desc = _load_json_maybe(descriptor)
     if isinstance(desc, list):  # the reference wraps one descriptor in a list
         desc = desc[0]
-    extr_config = load_extractor_config(desc["extrType"])
-    cand_conf = _load_json_maybe(desc.get("candProvAddConfParam"), {})
+
+    def _resolve(p):
+        """gen_exper_desc descriptors carry paths relative to the
+        collection dir (REL_DESC_PATH_PARAM); resolve against base_dir."""
+        if base_dir is not None and isinstance(p, str) and not os.path.isabs(p) and not p.lstrip().startswith(("[", "{")):
+            return os.path.join(base_dir, p)
+        return p
+
+    # extrTypeFinal is the gen_exper_desc spelling (utils.py:23) of the
+    # same key run_experiments.sh passes as extrType
+    extr_src = desc.get("extrType", desc.get("extrTypeFinal"))
+    if extr_src is None:
+        raise ValueError("descriptor needs extrType / extrTypeFinal")
+    extr_config = load_extractor_config(_resolve(extr_src))
+    cand_conf = _load_json_maybe(
+        _resolve(desc.get("candProvAddConfParam", desc.get("candProvAddConf"))), {}
+    )
     k1 = _num(cand_conf.get("k1", BM25_K1))
     b = _num(cand_conf.get("b", BM25_B))
     use_lmart = bool(int(desc.get("useLMART", 0)))
@@ -299,7 +347,7 @@ def run_experiment(
     if test_only:
         if not desc.get("modelFinal"):
             raise ValueError("testOnly without modelFinal")
-        model_path = desc["modelFinal"]
+        model_path = _resolve(desc["modelFinal"])
         if use_lmart:
             model = load_ranklib_ensemble(model_path)
         else:

@@ -211,6 +211,36 @@ def _feat_drmm(docs_tok: DataFrame, q_tok: DataFrame, weights=None, bias: float 
     return phi.select("query_id", "doc_id", score_col(list(weights), bias).alias("score"))
 
 
+def _feat_rm3(
+    docs_tok: DataFrame,
+    q_tok: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    cand_qty: int = 20,
+    top_doc_qty: int = 3,
+    top_term_qty: int = 10,
+    orig_weight: float = 0.5,
+    accumulate: bool = True,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback score
+    (FeatExtractorRM3Similarity.java — see search/rm3.py). Docs outside
+    the internal candidate pool get the extractor's zero default
+    (initResultSet) via extract_features' 0-fill."""
+    from flexneuart_spark.search.rm3 import rm3_rescore
+
+    return rm3_rescore(
+        docs_tok,
+        q_tok,
+        k1=k1,
+        b=b,
+        cand_qty=cand_qty,
+        top_doc_qty=top_doc_qty,
+        top_term_qty=top_term_qty,
+        orig_weight=orig_weight,
+        accumulate=accumulate,
+    ).select("query_id", "doc_id", F.col("rm3_score").alias("score"))
+
+
 def _feat_biencoder(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
     """Mean-pooled embedding similarity — the in-engine analogue of the
     reference's averaged-word-embedding extractor
@@ -230,6 +260,7 @@ FEATURES: dict[str, Callable[..., DataFrame]] = {
     "knrm": _feat_knrm,
     "drmm": _feat_drmm,
     "biencoder": _feat_biencoder,
+    "rm3": _feat_rm3,
 }
 
 

@@ -9,6 +9,7 @@ from flexneuart_spark.plans import entries_lmart as _lmart
 from flexneuart_spark.plans import entries_lemma as _lemma
 from flexneuart_spark.plans import entries_model1 as _m1
 from flexneuart_spark.plans import entries_neural as _neural
+from flexneuart_spark.plans import entries_rm3 as _rm3
 
 QUERIES_REG = {
     **_core.QUERIES_REG,
@@ -21,6 +22,7 @@ QUERIES_REG = {
     **_lemma.LEMMA_QUERIES_REG,
     **_m1.MODEL1_QUERIES_REG,
     **_neural.NEURAL_QUERIES_REG,
+    **_rm3.RM3_QUERIES_REG,
 }
 ORACLE_SQL = {
     **_core.ORACLE_SQL,
@@ -33,5 +35,6 @@ ORACLE_SQL = {
     **_lemma.LEMMA_ORACLE_SQL,
     **_m1.MODEL1_ORACLE_SQL,
     **_neural.NEURAL_ORACLE_SQL,
+    **_rm3.RM3_ORACLE_SQL,
 }
 
