@@ -36,6 +36,11 @@ Model1Similarity            model1      lambda→lambda_, minModel1Prob→
 BM25ClosePairSimilarity     close_pair  queryWindow, docWindow, k1, b
 RM3Similarity               rm3         topDocQty, topTermQty,
                                         origWeight, k1, b
+PassRetrScore               retr_score  useOrigRetrScore (cand run
+                                        injected per split)
+SDMSimilarity               sdm         lambdaT/O/U, window
+DocDenseEmbedDotProd        biencoder   — (pooled dense dot)
+DocSparseEmbedDotProd       bm25        — (BM25-as-dot, C9)
 AvgWordEmbed                biencoder   — (pooled hash embeddings)
 ExternalThrift              knrm/maxsim scorerType picks the in-process
                             /drmm       neural head (the Thrift feature
@@ -124,6 +129,35 @@ def load_extractor_config(src) -> list[dict]:
             if scorer not in ("knrm", "maxsim", "drmm"):
                 raise ValueError(f"extractor {i}: unknown scorerType {scorer!r}")
             conf = {"name": name, "feature": scorer}
+        elif typ == "SDMSimilarity":
+            # FeatExtrSDMSimilarity.java:33-49 — optional lambdaT/O/U + window
+            conf = {"name": name, "feature": "sdm"}
+            for src_key, dst_key in (
+                ("lambdaT", "lambda_t"),
+                ("lambdaO", "lambda_o"),
+                ("lambdaU", "lambda_u"),
+                ("window", "window"),
+            ):
+                if src_key in params:
+                    v = _num(params[src_key])
+                    conf[dst_key] = int(v) if dst_key == "window" else v
+        elif typ == "DocDenseEmbedDotProd":
+            # FeatExtrDenseDocEmbedDotProdSimilarity.java:42 — dense
+            # doc/query embedding inner product; served by the pooled
+            # bi-encoder head (the in-engine dense-embedding store)
+            conf = {"name": name, "feature": "biencoder"}
+        elif typ == "DocSparseEmbedDotProd":
+            # FeatExtrSparseDocEmbedDotProdSimilarity.java:42 — inner
+            # product of getSparseVector() outputs, which the reference
+            # builds from BM25 weights (C9 BM25-as-dot) — so the feature
+            # value IS the BM25 score
+            conf = {"name": name, "feature": "bm25"}
+        elif typ == "PassRetrScore":
+            # FeatExtrPassRetrScore.java:29-73 — the candidate run's own
+            # score as a feature; run_experiment injects cand= per split
+            conf = {"name": name, "feature": "retr_score"}
+            if "useOrigRetrScore" in params:
+                conf["use_orig"] = str(params["useOrigRetrScore"]).strip().lower() in ("1", "true")
         elif typ == "RM3Similarity":
             # FeatExtractorRM3Similarity.java:46-70 — required params
             # topDocQty/topTermQty/origWeight, optional k1/b
@@ -200,6 +234,22 @@ def dump_extractor_config(config: list[dict]) -> list[dict]:
             out.append({"type": "BM25ClosePairSimilarity", "params": params})
         elif feat == "biencoder":
             out.append({"type": "AvgWordEmbed", "params": {"indexFieldName": "text"}})
+        elif feat == "sdm":
+            params = {"indexFieldName": "text"}
+            for dst_key, src_key in (
+                ("lambdaT", "lambda_t"),
+                ("lambdaO", "lambda_o"),
+                ("lambdaU", "lambda_u"),
+                ("window", "window"),
+            ):
+                if src_key in conf:
+                    params[dst_key] = str(conf[src_key])
+            out.append({"type": "SDMSimilarity", "params": params})
+        elif feat == "retr_score":
+            params = {}
+            if "use_orig" in conf:
+                params["useOrigRetrScore"] = "true" if conf["use_orig"] else "false"
+            out.append({"type": "PassRetrScore", "params": params})
         elif feat == "rm3":
             params = {"indexFieldName": "text"}
             for dst_key, src_key in (
@@ -334,7 +384,12 @@ def run_experiment(
             [(qid, tok(text)) for qid, text in queries],
             "query_id string, tokens array<string>",
         )
-        feats = extract_features(docs_tok, q_tok, feats_config)
+        # PassRetrScore reads the candidate run itself — inject this
+        # split's cand (train and test runs differ)
+        split_config = [
+            dict(c, cand=cand) if c["feature"] == "retr_score" else c for c in feats_config
+        ]
+        feats = extract_features(docs_tok, q_tok, split_config)
         # the reference extracts features for the CANDIDATE list only
         return feats.join(cand.select("query_id", "doc_id"), ["query_id", "doc_id"], "semi")
 

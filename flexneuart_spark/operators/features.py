@@ -241,6 +241,62 @@ def _feat_rm3(
     ).select("query_id", "doc_id", F.col("rm3_score").alias("score"))
 
 
+def _feat_sdm(
+    docs_tok: DataFrame,
+    q_tok: DataFrame,
+    lambda_t: float = 0.5,
+    lambda_o: float = 0.2,
+    lambda_u: float = 0.3,
+    window: int = 8,
+    query_window: int = 4,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """C4 Sequential Dependence Model as a feature
+    (``FeatExtrSDMSimilarity.java:33-49`` / ``SDMSimilarityAnserini``,
+    defaults λT=0.5, λO=0.2, λU=0.3, window=8): weighted combination of
+    the unigram BM25 and the ordered/unordered close-pair components —
+    the feature twin of ``search/proximity.sdm_topk``. Missing
+    components contribute 0 (full outer join)."""
+    uni = _feat_bm25(docs_tok, q_tok, k1=k1, b=b).select(
+        "query_id", "doc_id", F.col("score").alias("s_uni")
+    )
+    o = _feat_close_pair(
+        docs_tok, q_tok, query_window=query_window, doc_window=window, ordered=True, k1=k1, b=b
+    ).select("query_id", "doc_id", F.col("score").alias("s_ord"))
+    u = _feat_close_pair(
+        docs_tok, q_tok, query_window=query_window, doc_window=window, ordered=False, k1=k1, b=b
+    ).select("query_id", "doc_id", F.col("score").alias("s_unord"))
+    return (
+        uni.join(o, ["query_id", "doc_id"], "full")
+        .join(u, ["query_id", "doc_id"], "full")
+        .fillna({"s_uni": 0.0, "s_ord": 0.0, "s_unord": 0.0})
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.lit(lambda_t) * F.col("s_uni")
+                + F.lit(lambda_o) * F.col("s_ord")
+                + F.lit(lambda_u) * F.col("s_unord")
+            ).alias("score"),
+        )
+    )
+
+
+def _feat_retr_score(
+    docs_tok: DataFrame, q_tok: DataFrame, cand: DataFrame = None, use_orig: bool = False
+) -> DataFrame:
+    """Candidate-provider retrieval score as a feature
+    (FeatExtrPassRetrScore.java:29-73: ``useOrigRetrScore`` picks
+    ``mOrigScore`` — the provider's score before any intermediate
+    re-ranker — over ``mScore``). ``cand``: the candidate run
+    (query_id, doc_id, score[, orig_score])."""
+    if cand is None:
+        raise ValueError("retr_score feature needs cand=<candidate run DataFrame>")
+    col = "orig_score" if use_orig and "orig_score" in cand.columns else "score"
+    return cand.select("query_id", "doc_id", F.col(col).cast("double").alias("score"))
+
+
 def _feat_biencoder(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
     """Mean-pooled embedding similarity — the in-engine analogue of the
     reference's averaged-word-embedding extractor
@@ -261,6 +317,8 @@ FEATURES: dict[str, Callable[..., DataFrame]] = {
     "drmm": _feat_drmm,
     "biencoder": _feat_biencoder,
     "rm3": _feat_rm3,
+    "retr_score": _feat_retr_score,
+    "sdm": _feat_sdm,
 }
 
 

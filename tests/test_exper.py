@@ -265,3 +265,116 @@ def test_run_experiment_lambdamart(spark, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(str(tmp_path), "lmart_fusion", "fused.run"))
+
+
+def test_retr_score_feature(spark, tmp_path):
+    """PassRetrScore (FeatExtrPassRetrScore.java:29-73): the candidate
+    run's own score surfaces as a feature column; useOrigRetrScore picks
+    orig_score when present; descriptor type round-trips."""
+    from flexneuart_spark.operators.features import extract_features
+
+    ref = [{"type": "PassRetrScore", "params": {"useOrigRetrScore": "true"}}]
+    config = E.load_extractor_config(json.dumps(ref))
+    assert config[0]["feature"] == "retr_score" and config[0]["use_orig"] is True
+    assert E.dump_extractor_config(config) == ref
+    rt = E.dump_extractor_config([{"name": "f1", "feature": "retr_score", "use_orig": False}])
+    assert rt == [{"type": "PassRetrScore", "params": {"useOrigRetrScore": "false"}}]
+
+    cand = spark.createDataFrame(
+        [("q1", "d1", 2.0, 9.0), ("q1", "d2", 1.0, 3.0)],
+        "query_id string, doc_id string, score double, orig_score double",
+    )
+    docs_tok = spark.createDataFrame([("d1", ["a"])], "doc_id string, tokens array<string>")
+    with_orig = extract_features(
+        docs_tok, docs_tok, [{"name": "f1", "feature": "retr_score", "cand": cand, "use_orig": True}]
+    )
+    got = {r.doc_id: r.f1 for r in with_orig.collect()}
+    assert got == {"d1": 9.0, "d2": 3.0}
+    current = extract_features(
+        docs_tok, docs_tok, [{"name": "f1", "feature": "retr_score", "cand": cand}]
+    )
+    got = {r.doc_id: r.f1 for r in current.collect()}
+    assert got == {"d1": 2.0, "d2": 1.0}
+    with pytest.raises(ValueError, match="cand"):
+        extract_features(docs_tok, docs_tok, [{"name": "f1", "feature": "retr_score"}])
+
+
+def test_run_experiment_retr_score_descriptor(spark, tmp_path):
+    """An experiment whose extractor list includes PassRetrScore trains
+    and reranks: the cand run is injected per split."""
+    from flexneuart_spark.index.builder import build_index
+
+    docs, queries, qrels_rows = _collection(6)
+    corpus = spark.createDataFrame(docs, "doc_id string, content string")
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), num_shards=2, tokenizer="whitespace")
+    qrels = spark.createDataFrame(qrels_rows, "query_id string, doc_id string, grade int")
+    desc = {
+        "experSubdir": "retr_fusion",
+        "extrType": json.dumps(
+            [
+                {"type": "PassRetrScore", "params": {"useOrigRetrScore": "true"}},
+                {"type": "TermMatchSimilarity", "params": {}},
+            ]
+        ),
+        "useLMART": 0,
+        "trainCandQty": 10,
+        "testCandQty": 10,
+        "numRandRestart": 2,
+    }
+    res = E.run_experiment(
+        spark,
+        desc,
+        index=idx,
+        train_queries=queries[:3],
+        test_queries=queries[3:],
+        qrels=qrels,
+        out_dir=str(tmp_path),
+        tokenizer="whitespace",
+    )
+    # fusion with the term-match feature fixes BM25's tf-saturation miss
+    assert res["metrics"]["map"] > res["baseline_metrics"]["map"]
+
+
+def test_sdm_and_embed_extractor_types(spark):
+    """SDMSimilarity → the sdm feature (λ-combination of bm25 + ordered/
+    unordered close-pair, FeatExtrSDMSimilarity.java:33-49 defaults);
+    DocDenseEmbedDotProd → biencoder, DocSparseEmbedDotProd → bm25
+    (C9 BM25-as-dot)."""
+    from flexneuart_spark.operators.features import extract_features
+
+    ref = [
+        {"type": "SDMSimilarity",
+         "params": {"lambdaT": "0.5", "lambdaO": "0.2", "lambdaU": "0.3", "window": "8"}},
+        {"type": "DocDenseEmbedDotProd", "params": {"indexFieldName": "text"}},
+        {"type": "DocSparseEmbedDotProd", "params": {"indexFieldName": "text"}},
+    ]
+    config = E.load_extractor_config(json.dumps(ref))
+    assert [c["feature"] for c in config] == ["sdm", "biencoder", "bm25"]
+    assert config[0]["lambda_t"] == 0.5 and config[0]["window"] == 8
+    assert E.dump_extractor_config(config) == ref
+    rt = E.dump_extractor_config([{"name": "f1", "feature": "sdm", "lambda_t": 0.4}])
+    assert rt == [{"type": "SDMSimilarity", "params": {"indexFieldName": "text", "lambdaT": "0.4"}}]
+
+    docs = [
+        ("d1", "alpha beta gamma filler words here and there"),
+        ("d2", "beta alpha more filler gamma alpha beta text body"),
+        ("d3", "unrelated content entirely different tokens everywhere"),
+    ]
+    docs_tok = spark.createDataFrame(
+        [(d, t.split()) for d, t in docs], "doc_id string, tokens array<string>"
+    )
+    q_tok = spark.createDataFrame(
+        [("q1", ["alpha", "beta"])], "query_id string, tokens array<string>"
+    )
+    feats = extract_features(
+        docs_tok,
+        q_tok,
+        [
+            {"name": "f_sdm", "feature": "sdm"},
+            {"name": "f_uni", "feature": "bm25"},
+            {"name": "f_ord", "feature": "close_pair", "ordered": True},
+            {"name": "f_unord", "feature": "close_pair", "ordered": False},
+        ],
+    )
+    for r in feats.collect():
+        assert r.f_sdm == pytest.approx(0.5 * r.f_uni + 0.2 * r.f_ord + 0.3 * r.f_unord, abs=1e-9)
