@@ -588,6 +588,19 @@ def main() -> None:
             "  regardless of corpus size); encode is one broadcast join + per-vec\n"
             "  argmin; ADC scoring joins 8-bit-scale code labels to a per-query\n"
             "  LUT and aggregates map-side — storage 8*m bits/vec vs 32*d raw.\n"
+            "- emb_ivfpq_ann: coarse cells prune the scan (probed cells only —\n"
+            "  the persisted variant prunes PARTITIONS of the codes table);\n"
+            "  residual-PQ LUTs are broadcast-sized; per-vector cost is a code\n"
+            "  lookup + map-side-combinable add, so corpus growth only widens\n"
+            "  the embarrassingly-parallel middle.\n"
+            "- colbert_maxsim: all per-term trig/exp work runs on the (V x Q)\n"
+            "  vocabulary table (V = distinct terms, not corpus rows) and\n"
+            "  equi-joins back to postings; the corpus-side job is one\n"
+            "  broadcast join + two partial aggs.\n"
+            "- rm3_rerank: no corpus-wide shuffle — every aggregation runs after\n"
+            "  a broadcast gate (query terms / top-doc ids / model terms), so\n"
+            "  shuffles are bounded by matching postings and the\n"
+            "  queries*k pivot tables, never by corpus size.\n"
             "- krovetz_stem: stateless Arrow-batched map, embarrassingly parallel.\n"
             "- emb_cosine_topk: broadcast query side, linear scan — the exact\n"
             "  baseline; the ANN entries (LSH/RP/IVF) are the scale path.\n"

@@ -149,3 +149,34 @@ def test_neural_entries_plan_shape(spark):
     plan = _plan(biencoder_scores(docs, qs))
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_rm3_plan_shape(spark):
+    """RM3 keeps the candidate-bounded shape: no CartesianProduct, no
+    Python in the plan, every corpus-side aggregation partial-aggregates
+    map-side, and the RM3-specific joins are broadcast (the corpus is
+    never shuffled for the relevance model / RM1 passes —
+    search/rm3.py scale posture)."""
+    from flexneuart_spark.search.rm3 import rm3_rescore
+
+    docs = spark.createDataFrame(
+        [(i, ["hash", "join", f"t{i}", f"u{i % 5}"]) for i in range(40)],
+        ["doc_id", "tokens"],
+    )
+    qs = spark.createDataFrame([("q1", ["hash", "join"])], ["query_id", "tokens"])
+    # materialize=False keeps ONE inspectable lazy plan end-to-end
+    df = rm3_rescore(docs, qs, cand_qty=10, top_doc_qty=3, top_term_qty=5, materialize=False)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    # the same result set as the materialized default
+    a = sorted((r.query_id, r.doc_id, round(r.rm3_score, 9)) for r in df.collect())
+    b = sorted(
+        (r.query_id, r.doc_id, round(r.rm3_score, 9))
+        for r in rm3_rescore(
+            docs, qs, cand_qty=10, top_doc_qty=3, top_term_qty=5, materialize=True
+        ).collect()
+    )
+    assert a == b
