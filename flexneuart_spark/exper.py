@@ -185,6 +185,10 @@ def load_extractor_config(src) -> list[dict]:
                     conf[dst_key] = int(v) if dst_key.endswith("window") else v
         else:
             raise ValueError(f"extractor {i}: unknown type {typ!r}")
+        if isinstance(params, dict) and params.get("indexFieldName"):
+            # multi-field routing (SingleFieldFeatExtractor.java: each
+            # extractor reads ONE named forward index)
+            conf["_field"] = str(params["indexFieldName"])
         conf["_ref"] = entry  # verbatim original for the round-trip
         out.append(conf)
     return out
@@ -300,6 +304,7 @@ def run_experiment(
     tokenizer: str = "code",
     seed: int = 42,
     base_dir: str | None = None,
+    field_tokenizers: dict[str, str] | None = None,
 ) -> dict:
     """One experiment, the ``run_one_experiment.sh`` stage order.
 
@@ -311,7 +316,13 @@ def run_experiment(
     ``IndexTables`` (or index dir) for the
     candidate provider AND the forward index that features are computed
     from (the reference extracts features from the same collection's
-    forward index). ``qrels``: (query_id, doc_id, grade).
+    forward index) — or a ``{field: IndexTables|dir}`` dict for
+    multi-field collections: each extractor then reads the field its
+    ``indexFieldName`` names (SingleFieldFeatExtractor semantics),
+    candidates retrieve from ``candFieldName`` (descriptor key, default
+    ``"text"``), and ``field_tokenizers={field: tokenizer}`` overrides
+    the query tokenizer per field (e.g. a krovetz-stemmed field).
+    ``qrels``: (query_id, doc_id, grade).
 
     Returns ``{"run": fused test run, "baseline_run": BM25-only run,
     "metrics": ..., "baseline_metrics": ..., "model": ...,
@@ -366,13 +377,47 @@ def run_experiment(
     exp_dir = os.path.join(out_dir, desc.get("experSubdir", "exper"))
     os.makedirs(exp_dir, exist_ok=True)
 
-    tables = index if isinstance(index, IndexTables) else IndexTables(index)
+    # ---- field routing (the reference keeps ONE forward index per field;
+    # each SingleFieldFeatExtractor reads the field its config names) ----
+    if isinstance(index, dict):
+        tables_by_field = {
+            f: (t if isinstance(t, IndexTables) else IndexTables(t)) for f, t in index.items()
+        }
+        cand_field = str(
+            desc.get(
+                "candFieldName",
+                "text" if "text" in tables_by_field else next(iter(tables_by_field)),
+            )
+        )
+        if cand_field not in tables_by_field:
+            raise ValueError(f"candFieldName {cand_field!r} not among index fields "
+                             f"{sorted(tables_by_field)}")
+    else:
+        cand_field = "text"
+        tables_by_field = {cand_field: index if isinstance(index, IndexTables) else IndexTables(index)}
+    tables = tables_by_field[cand_field]
+    tok_by_field = {
+        f: TOKENIZERS[(field_tokenizers or {}).get(f, tokenizer)] for f in tables_by_field
+    }
     searcher = Searcher(spark, tables, k1=k1, b=b, tokenizer=tokenizer)
-    docs_tok = tables.fwd(spark).select("doc_id", "tokens")
-    tok = TOKENIZERS[tokenizer]
+    docs_by_field = {f: t.fwd(spark).select("doc_id", "tokens") for f, t in tables_by_field.items()}
 
     names = [c["name"] for c in extr_config]
     feats_config = _strip_ref(extr_config)
+    if isinstance(index, dict):
+        field_of = [c.pop("_field", None) or cand_field for c in feats_config]
+        for f in field_of:
+            if f not in tables_by_field:
+                raise ValueError(
+                    f"extractor references indexFieldName {f!r} but run_experiment "
+                    f"got indexes for {sorted(tables_by_field)}"
+                )
+    else:
+        # single-index collection: every extractor reads it regardless of
+        # the config's indexFieldName spelling (pre-multi-field behavior)
+        for c in feats_config:
+            c.pop("_field", None)
+        field_of = [cand_field] * len(feats_config)
     for conf in feats_config:
         if conf["feature"] == "model1":
             if tran is None:
@@ -380,16 +425,25 @@ def run_experiment(
             conf["tran"] = tran
 
     def _features_for(queries: list[tuple[str, str]], cand: DataFrame) -> DataFrame:
-        q_tok = spark.createDataFrame(
-            [(qid, tok(text)) for qid, text in queries],
-            "query_id string, tokens array<string>",
-        )
-        # PassRetrScore reads the candidate run itself — inject this
-        # split's cand (train and test runs differ)
-        split_config = [
-            dict(c, cand=cand) if c["feature"] == "retr_score" else c for c in feats_config
-        ]
-        feats = extract_features(docs_tok, q_tok, split_config)
+        frames = []
+        for field in dict.fromkeys(field_of):  # unique, insertion-ordered
+            # PassRetrScore reads the candidate run itself — inject this
+            # split's cand (train and test runs differ)
+            confs = [
+                dict(c, cand=cand) if c["feature"] == "retr_score" else c
+                for c, cf in zip(feats_config, field_of)
+                if cf == field
+            ]
+            tok_f = tok_by_field[field]
+            q_tok = spark.createDataFrame(
+                [(qid, tok_f(text)) for qid, text in queries],
+                "query_id string, tokens array<string>",
+            )
+            frames.append(extract_features(docs_by_field[field], q_tok, confs))
+        feats = frames[0]
+        for fr in frames[1:]:
+            feats = feats.join(fr, ["query_id", "doc_id"], "full")
+        feats = feats.fillna({n: 0.0 for n in names})
         # the reference extracts features for the CANDIDATE list only
         return feats.join(cand.select("query_id", "doc_id"), ["query_id", "doc_id"], "semi")
 

@@ -46,6 +46,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Size the single local-mode JVM for the 10x working set: driver ==
+# executor == block manager here, so the scaled suite's cached posting
+# tables + broadcasts live in ONE heap (a cluster spreads them across
+# executors). 8g (the test default) OOMs a broadcast build at 1.2M docs.
+os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))

@@ -378,3 +378,77 @@ def test_sdm_and_embed_extractor_types(spark):
     )
     for r in feats.collect():
         assert r.f_sdm == pytest.approx(0.5 * r.f_uni + 0.2 * r.f_ord + 0.3 * r.f_unord, abs=1e-9)
+
+
+def test_run_experiment_multi_field(spark, tmp_path):
+    """Multi-field collection (the reference's one-forward-index-per-field
+    layout): extractors route by indexFieldName, candidates retrieve from
+    candFieldName, and per-field query tokenizers apply — a
+    krovetz-stemmed field matches morphology the raw field cannot."""
+    from flexneuart_spark.index.builder import build_index
+    from flexneuart_spark.operators.features import extract_features  # noqa: F401
+
+    docs = [
+        ("dA", "alpha running fast common filler words body text"),
+        ("dB", "alpha runs quickly common filler words body text"),
+        ("dC", "unrelated beta content entirely different tokens body"),
+        ("dD", "gamma delta common filler words body text here"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id string, content string")
+    idx_raw = build_index(spark, corpus, str(tmp_path / "idx_raw"), num_shards=2,
+                          tokenizer="whitespace")
+    idx_k = build_index(spark, corpus, str(tmp_path / "idx_k"), num_shards=2,
+                        tokenizer="krovetz")
+    qrels = spark.createDataFrame(
+        [("q1", "dA", 1), ("q1", "dB", 1)], "query_id string, doc_id string, grade int"
+    )
+    desc = {
+        "experSubdir": "multi_field",
+        "candFieldName": "text",
+        "extrType": json.dumps(
+            [
+                {"type": "TFIDFSimilarity",
+                 "params": {"similType": "bm25", "indexFieldName": "text"}},
+                {"type": "TFIDFSimilarity",
+                 "params": {"similType": "bm25", "indexFieldName": "text_k"}},
+            ]
+        ),
+        "testOnly": 1,
+        "modelFinal": None,  # replaced below
+        "testCandQty": 10,
+    }
+    # score with a fixed 2-feature model (no training needed)
+    from flexneuart_spark.io.ranklib import write_ranklib_linear
+
+    model_path = str(tmp_path / "two_feat.model")
+    write_ranklib_linear({1: 0.5, 2: 0.5}, model_path)
+    desc["modelFinal"] = model_path
+
+    res = E.run_experiment(
+        spark,
+        desc,
+        index={"text": idx_raw, "text_k": idx_k},
+        train_queries=[],
+        test_queries=[("q1", "alpha running")],
+        qrels=qrels,
+        out_dir=str(tmp_path),
+        tokenizer="whitespace",
+        field_tokenizers={"text_k": "krovetz"},
+    )
+    run_rows = {r.doc_id: r.score for r in res["run"].collect()}
+    # dB matches "running" only through the stemmed field: its fused
+    # score must exceed what the raw field alone would give it (dC gets
+    # nothing) — and dA (matching both fields) tops the run
+    assert "dA" in run_rows and "dB" in run_rows
+    assert run_rows["dA"] > run_rows["dB"]
+    assert "dC" not in run_rows
+    # descriptor naming an unknown field fails loudly
+    bad = dict(desc, extrType=json.dumps(
+        [{"type": "TFIDFSimilarity",
+          "params": {"similType": "bm25", "indexFieldName": "nope"}}]))
+    with pytest.raises(ValueError, match="nope"):
+        E.run_experiment(
+            spark, bad, index={"text": idx_raw, "text_k": idx_k},
+            train_queries=[], test_queries=[("q1", "alpha")], qrels=qrels,
+            out_dir=str(tmp_path), tokenizer="whitespace",
+        )
