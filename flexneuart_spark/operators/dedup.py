@@ -151,10 +151,17 @@ def jaccard_near_duplicates(
         hp = head.select("shingle", F.explode("ids").alias("_hid"))
         ha = hp.select(F.col("_hid").alias("id_a"), "shingle")
         hb = hp.select(F.col("_hid").alias("id_b"), "shingle")
+        # merge hints: the head-posting expansion scales with the corpus
+        # (head shingles each carry >cap doc ids), but its PLAN-TIME size
+        # estimate (derived through explode of a checkpointed table) can
+        # fall under autoBroadcastJoinThreshold — Spark then plans a
+        # broadcast it can never demote and dies at the 8 GiB broadcast
+        # cap on big corpora (seen at the 10x scale check). Sort-merge is
+        # correct at any scale; AQE still handles skew within it.
         corr = (
             inter.select("id_a", "id_b")
-            .join(ha, "id_a")
-            .join(hb, ["id_b", "shingle"])
+            .join(ha.hint("merge"), "id_a")
+            .join(hb.hint("merge"), ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_head"))
         )
@@ -167,9 +174,11 @@ def jaccard_near_duplicates(
         inter = inter.select("id_a", "id_b", F.col("n_body").alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # sizes is one row per doc — corpus-scaled, same forbidden-broadcast
+    # reasoning as the head correction above
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
