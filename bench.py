@@ -594,9 +594,17 @@ def main() -> None:
             "  lookup + map-side-combinable add, so corpus growth only widens\n"
             "  the embarrassingly-parallel middle.\n"
             "- colbert_maxsim: all per-term trig/exp work runs on the (V x Q)\n"
-            "  vocabulary table (V = distinct terms, not corpus rows) and\n"
-            "  equi-joins back to postings; the corpus-side job is one\n"
-            "  broadcast join + two partial aggs.\n"
+            "  vocabulary table (V = distinct terms, not corpus rows); the\n"
+            "  V x Q cosine table is then PIVOTED to one array-carrying row\n"
+            "  per vocab term before the corpus join, so the corpus-scaled\n"
+            "  join output stays |dterms| rows (never |dterms| x Q) and the\n"
+            "  per-doc MaxSim reduction is Q map-side-combinable max aggs\n"
+            "  over one groupBy(doc_id) shuffle. The pre-pivot long form's\n"
+            "  x Q shuffle blowup grew 16.2x on 10x data (103 s at sf1); the\n"
+            "  pivoted plan measures ~11.6 s at sf1. knrm_score / drmm_score\n"
+            "  share the pivot (same join shape), with a long-form fallback\n"
+            "  past 64 distinct query terms where Q*K aggregate width would\n"
+            "  dominate (equivalence pinned in tests/test_neural_pivot.py).\n"
             "- rm3_rerank: no corpus-wide shuffle — every aggregation runs after\n"
             "  a broadcast gate (query terms / top-doc ids / model terms), so\n"
             "  shuffles are bounded by matching postings and the\n"
