@@ -559,7 +559,9 @@ def parse_yahoo_answers_record(rec_str: str) -> tuple:
         if nbest is not None:
             for item in nbest.iter("answer_item"):
                 raw = text_of(item)
-                if raw == best_raw:
+                # first match only: duplicate answers are common in the
+                # dumps and the best-answer grade must land on the first
+                if best_id < 0 and raw == best_raw:
                     best_id = len(answers)
                 answers.append(remove_tags(raw))
         return (

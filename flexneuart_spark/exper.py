@@ -399,7 +399,10 @@ def run_experiment(
     tok_by_field = {
         f: TOKENIZERS[(field_tokenizers or {}).get(f, tokenizer)] for f in tables_by_field
     }
-    searcher = Searcher(spark, tables, k1=k1, b=b, tokenizer=tokenizer)
+    # the candidate provider must tokenize queries the way the candidate
+    # FIELD's index was built, not with the global default
+    cand_tok = (field_tokenizers or {}).get(cand_field, tokenizer)
+    searcher = Searcher(spark, tables, k1=k1, b=b, tokenizer=cand_tok)
     docs_by_field = {f: t.fwd(spark).select("doc_id", "tokens") for f, t in tables_by_field.items()}
 
     names = [c["name"] for c in extr_config]
@@ -443,9 +446,16 @@ def run_experiment(
         feats = frames[0]
         for fr in frames[1:]:
             feats = feats.join(fr, ["query_id", "doc_id"], "full")
-        feats = feats.fillna({n: 0.0 for n in names})
-        # the reference extracts features for the CANDIDATE list only
-        return feats.join(cand.select("query_id", "doc_id"), ["query_id", "doc_id"], "semi")
+        # the reference extracts features for the CANDIDATE list only, and a
+        # candidate no extractor scored keeps its row with the extractor zero
+        # default (initResultSet) — a left join from the candidate pairs, not
+        # a semi-join into the feature rows, or a single-feature config whose
+        # internal pool misses a candidate would DROP it from the fused run
+        return (
+            cand.select("query_id", "doc_id")
+            .join(feats, ["query_id", "doc_id"], "left")
+            .fillna({n: 0.0 for n in names})
+        )
 
     # ---- candidate provision (BM25, the Lucene provider analogue) ----
     test_cand = searcher.search(test_queries, k=test_cand_qty)

@@ -21,33 +21,46 @@ from pyspark.sql import types as T
 
 from flexneuart_spark.neural import load_model
 from flexneuart_spark.neural.knrm import KNRM, knrm_score_batch
+from flexneuart_spark.neural.drmm import DRMM, drmm_score_batch
 from flexneuart_spark.neural.late_interaction import MaxSim, maxsim_batch
 from flexneuart_spark.neural.biencoder import BiEncoder, pooled_np
 from flexneuart_spark.search.rerank import rerank_tail_adjust
 
 
+def _grouped_query_scorer(batch_fn, w, bias):
+    """Build a score_block for heads scored per-(query group) with a
+    ``batch_fn(doc_tokens_lists, q_terms, q_tfs, w, bias)`` kernel."""
+
+    def score_block(q_tokens: pd.Series, d_tokens: pd.Series) -> pd.Series:
+        out = np.empty(len(q_tokens))
+        # group rows by query so each query's term matrix hashes once
+        qkey = q_tokens.map(lambda ts: " ".join(ts) if ts is not None else "")
+        for _, idx in pd.Series(range(len(q_tokens))).groupby(qkey.values):
+            ii = idx.to_numpy()
+            v = q_tokens.iloc[ii[0]]
+            qts = list(v) if v is not None else []
+            uq, qtf = np.unique(np.asarray(qts, dtype=object), return_counts=True)
+            if len(uq) == 0:
+                out[ii] = 0.0
+                continue
+            out[ii] = batch_fn(
+                [d_tokens.iloc[i] for i in ii], list(uq), qtf.astype(float), w, bias
+            )
+        return pd.Series(out)
+
+    return score_block
+
+
 def _score_pairs_udf(model):
     """pandas UDF scoring (q_tokens, d_tokens) rows for a loaded model."""
 
-    if isinstance(model, KNRM):
-        w, bias = model.w.copy(), model.b
+    # DRMM subclasses KNRM (same convex trainer), so it MUST dispatch first:
+    # its weights are histogram-bin weights, not RBF-kernel weights
+    if isinstance(model, DRMM):
+        score_block = _grouped_query_scorer(drmm_score_batch, model.w.copy(), model.b)
 
-        def score_block(q_tokens: pd.Series, d_tokens: pd.Series) -> pd.Series:
-            out = np.empty(len(q_tokens))
-            # group rows by query so each query's term matrix hashes once
-            qkey = q_tokens.map(lambda ts: " ".join(ts) if ts is not None else "")
-            for _, idx in pd.Series(range(len(q_tokens))).groupby(qkey.values):
-                ii = idx.to_numpy()
-                v = q_tokens.iloc[ii[0]]
-                qts = list(v) if v is not None else []
-                uq, qtf = np.unique(np.asarray(qts, dtype=object), return_counts=True)
-                if len(uq) == 0:
-                    out[ii] = 0.0
-                    continue
-                out[ii] = knrm_score_batch(
-                    [d_tokens.iloc[i] for i in ii], list(uq), qtf.astype(float), w, bias
-                )
-            return pd.Series(out)
+    elif isinstance(model, KNRM):
+        score_block = _grouped_query_scorer(knrm_score_batch, model.w.copy(), model.b)
 
     elif isinstance(model, MaxSim):
 

@@ -102,26 +102,40 @@ def _feat_cosine(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
     )
 
 
-def _feat_close_pair(
+def _close_pair_frame(
     docs_tok: DataFrame,
     q_tok: DataFrame,
+    modes: list[tuple[str, bool]],
     query_window: int = 4,
     doc_window: int = 8,
-    ordered: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """C3 close-pair proximity as a feature
-    (``FeatExtrBM25ClosePairSimilarity``): candidates = docs sharing ≥2
-    distinct query terms; each (query, doc) pair scored with the C9
-    kernel (``search/proximity.py:close_pair_score``) in one
-    Arrow-batched pandas pass. The query-vocabulary idf slice is
-    driver-small (queries are a bounded set) and ships by closure."""
+    """Close-pair proximity scores for candidate (query, doc) pairs —
+    one output column per ``(name, ordered)`` mode, every mode computed
+    in the SAME Arrow-batched pandas pass (SDM needs ordered AND
+    unordered; the doc's token-id conversion is shared).
+
+    Candidacy is per query: a nonzero score needs a close pair of two
+    DISTINCT query terms both present in the doc (``query_pairs`` skips
+    a == b), so (query, doc) pairs sharing ≥2 distinct terms — found by
+    an exploded-term equi-join against the broadcast query terms — are
+    the exact superset. The old form gated docs on the UNION of all
+    queries' vocab and then cross-joined every passing doc with every
+    query, shipping each doc through the Python kernel Q× (scores 0 for
+    the queries it shares nothing with, filtered afterwards).
+
+    The query-vocabulary idf slice is driver-small (queries are a
+    bounded set) and ships by closure."""
     import numpy as np
     import pandas as pd
 
     from flexneuart_spark.search.proximity import close_pair_score
 
+    spark = q_tok.sparkSession
+    empty_schema = "query_id string, doc_id string, " + ", ".join(
+        f"{name} double" for name, _ in modes
+    )
     stats = docs_tok.select(F.size("tokens").alias("dl")).agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -133,9 +147,7 @@ def _feat_close_pair(
         .collect()
     ]
     if not qvocab:
-        return q_tok.sparkSession.createDataFrame(
-            [], "query_id string, doc_id string, score double"
-        )
+        return spark.createDataFrame([], empty_schema)
     dfreq = {
         r.term: r.df
         for r in docs_tok.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
@@ -145,38 +157,76 @@ def _feat_close_pair(
         .collect()
     }
     terms = sorted(t for t in qvocab if t in dfreq)
+    if not terms:
+        return spark.createDataFrame([], empty_schema)
     term_to_id = {t: i for i, t in enumerate(terms)}
     idf_by_id = np.array(
         [float(np.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))) for t in terms]
     )
-    qpairs = docs_tok.withColumn(
-        "n_match",
-        F.size(F.array_intersect(F.array_distinct("tokens"), F.array(*[F.lit(t) for t in terms]))),
-    ).filter(F.col("n_match") >= 2).crossJoin(
-        F.broadcast(q_tok.select("query_id", F.col("tokens").alias("q_tokens")))
+    d_terms = docs_tok.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    ).where(F.col("term").isin(terms))
+    q_terms = q_tok.select(
+        "query_id", F.explode(F.array_distinct("tokens")).alias("term")
+    ).where(F.col("term").isin(terms))
+    cand = (
+        d_terms.join(F.broadcast(q_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_match"))
+        .where(F.col("n_match") >= 2)
     )
-    qw_, dw_, ordd, K1, B, AVGDL = query_window, doc_window, ordered, k1, b, avgdl
+    qpairs = (
+        cand.select("query_id", "doc_id")
+        .join(docs_tok, "doc_id")
+        .join(
+            F.broadcast(q_tok.select("query_id", F.col("tokens").alias("q_tokens"))),
+            "query_id",
+        )
+    )
+    qw_, dw_, K1, B, AVGDL, modes_ = query_window, doc_window, k1, b, avgdl, list(modes)
 
     def _score(it):
         for pdf in it:
-            scores = []
+            cols = {name: [] for name, _ in modes_}
             for qt, dt in zip(pdf["q_tokens"], pdf["tokens"]):
                 qi = np.array([term_to_id.get(t, -1) for t in qt], dtype=np.int64)
                 di = np.array([term_to_id.get(t, -1) for t in dt], dtype=np.int64)
-                scores.append(
-                    close_pair_score(
-                        qi, di, len(dt), idf_by_id, AVGDL,
-                        query_window=qw_, doc_window=dw_, ordered=ordd, k1=K1, b=B,
+                for name, ordd in modes_:
+                    cols[name].append(
+                        close_pair_score(
+                            qi, di, len(dt), idf_by_id, AVGDL,
+                            query_window=qw_, doc_window=dw_, ordered=ordd, k1=K1, b=B,
+                        )
                     )
-                )
             yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "doc_id": pdf["doc_id"], "score": scores}
+                {"query_id": pdf["query_id"], "doc_id": pdf["doc_id"], **cols}
             )
 
     out = qpairs.select("query_id", "doc_id", "q_tokens", "tokens").mapInPandas(
-        _score, "query_id string, doc_id string, score double"
+        _score, empty_schema
     )
-    return out.filter(F.col("score") != 0.0)
+    keep = None
+    for name, _ in modes:
+        cond = F.col(name) != 0.0
+        keep = cond if keep is None else (keep | cond)
+    return out.filter(keep)
+
+
+def _feat_close_pair(
+    docs_tok: DataFrame,
+    q_tok: DataFrame,
+    query_window: int = 4,
+    doc_window: int = 8,
+    ordered: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """C3 close-pair proximity as a feature
+    (``FeatExtrBM25ClosePairSimilarity``): see :func:`_close_pair_frame`."""
+    return _close_pair_frame(
+        docs_tok, q_tok, [("score", ordered)],
+        query_window=query_window, doc_window=doc_window, k1=k1, b=b,
+    )
 
 
 def _feat_maxsim(docs_tok: DataFrame, q_tok: DataFrame) -> DataFrame:
@@ -225,7 +275,7 @@ def _feat_rm3(
     """RM3 pseudo-relevance-feedback score
     (FeatExtractorRM3Similarity.java — see search/rm3.py). Docs outside
     the internal candidate pool get the extractor's zero default
-    (initResultSet) via extract_features' 0-fill."""
+    (initResultSet) via run_experiment's candidate-left-join 0-fill."""
     from flexneuart_spark.search.rm3 import rm3_rescore
 
     return rm3_rescore(
@@ -261,15 +311,13 @@ def _feat_sdm(
     uni = _feat_bm25(docs_tok, q_tok, k1=k1, b=b).select(
         "query_id", "doc_id", F.col("score").alias("s_uni")
     )
-    o = _feat_close_pair(
-        docs_tok, q_tok, query_window=query_window, doc_window=window, ordered=True, k1=k1, b=b
-    ).select("query_id", "doc_id", F.col("score").alias("s_ord"))
-    u = _feat_close_pair(
-        docs_tok, q_tok, query_window=query_window, doc_window=window, ordered=False, k1=k1, b=b
-    ).select("query_id", "doc_id", F.col("score").alias("s_unord"))
+    # ordered + unordered in ONE candidate scan / pandas pass
+    prox = _close_pair_frame(
+        docs_tok, q_tok, [("s_ord", True), ("s_unord", False)],
+        query_window=query_window, doc_window=window, k1=k1, b=b,
+    )
     return (
-        uni.join(o, ["query_id", "doc_id"], "full")
-        .join(u, ["query_id", "doc_id"], "full")
+        uni.join(prox, ["query_id", "doc_id"], "full")
         .fillna({"s_uni": 0.0, "s_ord": 0.0, "s_unord": 0.0})
         .select(
             "query_id",

@@ -304,8 +304,11 @@ def ivf_train(
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     for _ in range(n_iter):
-        if assign == "udf":
-            probe = _probe_cells_udf(cents.collect(), nprobe=1)
+        # empty centroid table (degenerate/empty input): the window form
+        # below lazily yields an empty frame; the UDF closure can't stack
+        # a 0-row matrix, so route the degenerate case there
+        if assign == "udf" and (cent_rows := cents.collect()):
+            probe = _probe_cells_udf(cent_rows, nprobe=1)
             assigned = e.select(id_col, "v", F.element_at(probe("v"), 1).alias("cell"))
         else:
             scored = e.crossJoin(F.broadcast(cents)).withColumn(
@@ -358,8 +361,8 @@ def ivf_assign(
     identically (cos desc, cell asc) — equality is pytest-pinned."""
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
     cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
-    if assign == "udf":
-        probe = _probe_cells_udf(cents.collect(), nprobe=nprobe)
+    if assign == "udf" and (cent_rows := cents.collect()):
+        probe = _probe_cells_udf(cent_rows, nprobe=nprobe)
         return (
             e.select(F.col(id_col), F.posexplode(probe("v")).alias("pos", "cell"))
             .select(
@@ -425,7 +428,10 @@ def _sub_slices(vcol: str, m: int, dsub: int):
 
 
 def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
-    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    row = emb.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        return 0  # empty input: callers produce an empty frame downstream
+    d = row["d"]
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
     return d // m
@@ -544,8 +550,9 @@ def pq_train(
         F.col(id_col), F.posexplode(F.array(*_sub_slices("v", m, dsub))).alias("sub", "sv")
     )
     for _ in range(n_iter):
-        if assign == "udf":
-            assign_udf = _nearest_code_udf(cb.collect())
+        # empty codebook (degenerate/empty input) → lazy empty window form
+        if assign == "udf" and (cb_rows := cb.collect()):
+            assign_udf = _nearest_code_udf(cb_rows)
             assigned = subs.select(id_col, "sub", "sv", assign_udf("sub", "sv").alias("code"))
         else:
             assigned = _assign_codes_window(subs, cb, id_col)
@@ -591,8 +598,8 @@ def pq_encode(
         F.col(id_col),
         F.posexplode(F.array(*_sub_slices(vec_col, m, dsub))).alias("sub", "raw_sv"),
     ).withColumn("sv", F.transform("raw_sv", lambda x: x.cast("double")))
-    if assign == "udf":
-        assign_udf = _nearest_code_udf(codebooks.collect())
+    if assign == "udf" and (cb_rows := codebooks.collect()):
+        assign_udf = _nearest_code_udf(cb_rows)
         return subs.select(id_col, "sub", assign_udf("sub", "sv").alias("code"))
     return _assign_codes_window(subs, codebooks, id_col).select(id_col, "sub", "code")
 

@@ -244,6 +244,30 @@ def test_yahoo_parse_records(spark, tmp_path):
     assert len(errs) == 1 and "uri" in errs[0]["parse_error"]
 
 
+def test_yahoo_duplicate_best_answer_grades_first_match(spark, tmp_path):
+    """Duplicate answers are common in the dumps: the best-answer grade
+    must land on the FIRST answer_item matching <bestanswer>."""
+    raw = """<document>
+<uri>q1</uri>
+<subject>dup</subject>
+<bestanswer>same text</bestanswer>
+<nbestanswers>
+<answer_item>same text</answer_item>
+<answer_item>other</answer_item>
+<answer_item>same text</answer_item>
+</nbestanswers>
+</document>
+"""
+    p = tmp_path / "dup.xml"
+    p.write_text(raw)
+    parsed = C.read_yahoo_answers(spark, str(p))
+    row = parsed.collect()[0]
+    assert row.best_answer_id == 0
+    qrels = {(r.query_id, r.doc_id): r.grade for r in C.yahoo_answers_qrels(parsed).collect()}
+    assert qrels[("q1", "q1-0")] == 4  # MAX_RELEV_GRADE on the first match
+    assert qrels[("q1", "q1-2")] == 3
+
+
 def test_yahoo_questions_answers_qrels_match_reference(spark, tmp_path):
     p = tmp_path / "ya.xml"
     p.write_text(YA_RAW)

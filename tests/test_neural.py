@@ -293,6 +293,32 @@ def test_neural_ranker_rerank_and_mixing(spark):
         assert out3.sort_values("rank")["doc_id"].tolist() == by_rank
 
 
+def test_neural_ranker_dispatches_drmm_not_knrm(spark):
+    """DRMM subclasses KNRM, so the ranker MUST type-dispatch DRMM first:
+    its weights are histogram-bin weights. The reranked scores must equal
+    drmm_score_batch, and differ from the KNRM kernel-pooled scores."""
+    docs, qs = _toy(spark)
+    run = spark.createDataFrame(
+        [("q1", "d1", 1.0, 1), ("q1", "d2", 0.9, 2), ("q1", "d4", 0.8, 3)],
+        ["query_id", "doc_id", "score", "rank"],
+    )
+    m = DRMM()
+    m.w = np.linspace(1.0, 2.0, NBINS)  # distinct, non-degenerate weights
+    m.b = 0.25
+    got = {
+        (r.query_id, r.doc_id): r.new_score
+        for r in NeuralRanker(m).score_candidates(run, docs, qs, top_r=3).collect()
+    }
+    dd = {r.doc_id: r.tokens for r in docs.collect()}
+    uq, qtf = np.unique(np.asarray(["hash", "join"], dtype=object), return_counts=True)
+    ids = ["d1", "d2", "d4"]
+    want_drmm = drmm_score_batch([dd[d] for d in ids], list(uq), qtf.astype(float), m.w, m.b)
+    want_knrm = knrm_score_batch([dd[d] for d in ids], list(uq), qtf.astype(float), m.w, m.b)
+    for d, wd, wk in zip(ids, want_drmm, want_knrm):
+        assert got[("q1", d)] == pytest.approx(wd, rel=1e-12), d
+        assert abs(wd - wk) > 1e-6, "test is vacuous: kernels agree on this input"
+
+
 def test_feature_registry_neural_keys(spark):
     from flexneuart_spark.operators.features import extract_features
 

@@ -608,6 +608,19 @@ def test_assign_modes_identical(spark, emb):
         assert a == b, fn.__name__
 
 
+def test_ann_udf_path_empty_input_is_lazy_empty(spark):
+    """An empty embeddings frame (the fuzz class the index builder was
+    hardened against) must yield empty results on the default Arrow/BLAS
+    assignment path, not crash at plan-build time stacking a 0-row
+    centroid/codebook matrix."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.ivf_train(empty, n_cells=4, n_iter=2, assign="udf").count() == 0
+    assert similarity.ivf_assign(empty, n_cells=4, assign="udf").count() == 0
+    cb = similarity.pq_train(empty, m=2, n_codes=4, n_iter=2, assign="udf")
+    assert cb.count() == 0
+    assert similarity.pq_encode(empty, cb, m=2, assign="udf").count() == 0
+
+
 def test_ivfpq_search_external_queries(spark, emb, tmp_path):
     """Queries that are NOT corpus rows (the serving shape): results keep
     self-matches out naturally (no matching vec_id) and every neighbour
