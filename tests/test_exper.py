@@ -380,6 +380,63 @@ def test_sdm_and_embed_extractor_types(spark):
         assert r.f_sdm == pytest.approx(0.5 * r.f_uni + 0.2 * r.f_ord + 0.3 * r.f_unord, abs=1e-9)
 
 
+def test_close_pair_feature_matches_bruteforce_all_pairs(spark):
+    """The per-query equi-join candidacy gate must be invisible in the
+    results: the feature frame's rows equal the independent naive oracle
+    (test_proximity.naive_close_pair_score) evaluated on EVERY
+    (query, doc) pair, keeping nonzero scores — across queries with
+    disjoint vocab, repeated terms, OOV-only terms, and docs sharing
+    <2 / ≥2 terms per query."""
+    import numpy as np
+    from test_proximity import naive_close_pair_score
+
+    from flexneuart_spark.operators.features import extract_features
+
+    docs = [
+        ("d1", "alpha beta gamma filler words here and there"),
+        ("d2", "beta alpha more filler gamma alpha beta text body"),
+        ("d3", "alpha only shares one query term with q1 here"),
+        ("d4", "delta epsilon close pair for the second query delta"),
+        ("d5", "unrelated content entirely different tokens everywhere"),
+        ("d6", "epsilon far away from stuff and then much later delta"),
+    ]
+    queries = [
+        ("q1", ["alpha", "beta"]),
+        ("q2", ["delta", "epsilon"]),
+        ("q3", ["alpha", "alpha"]),        # repeated term: a==b pairs skipped
+        ("q4", ["zzz_oov", "yyy_oov"]),    # OOV-only: no rows
+        ("q5", ["beta", "delta"]),         # spans both doc groups
+    ]
+    docs_tok = spark.createDataFrame(
+        [(d, t.split()) for d, t in docs], "doc_id string, tokens array<string>"
+    )
+    q_tok = spark.createDataFrame(queries, "query_id string, tokens array<string>")
+    for ordered in (True, False):
+        feats = extract_features(
+            docs_tok, q_tok, [{"name": "s", "feature": "close_pair", "ordered": ordered}]
+        )
+        got = {(r.query_id, r.doc_id): r.s for r in feats.collect()}
+        # independent oracle over ALL pairs
+        tok = {d: t.split() for d, t in docs}
+        n = len(docs)
+        avgdl = float(np.mean([len(t) for t in tok.values()]))
+        qvocab = {t for _, qt in queries for t in qt}
+        df = {t: sum(t in set(dt) for dt in tok.values()) for t in qvocab}
+        idf = {
+            t: float(np.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)))
+            for t in qvocab if df[t] > 0
+        }
+        want = {}
+        for qid, qt in queries:
+            for did, dt in tok.items():
+                s = naive_close_pair_score(qt, dt, idf, avgdl, 4, 8, ordered)
+                if s != 0.0:
+                    want[(qid, did)] = s
+        assert set(got) == set(want), (ordered, set(got) ^ set(want))
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, rel=1e-12), (ordered, k)
+
+
 def test_run_experiment_multi_field(spark, tmp_path):
     """Multi-field collection (the reference's one-forward-index-per-field
     layout): extractors route by indexFieldName, candidates retrieve from
