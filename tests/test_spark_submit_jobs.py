@@ -274,3 +274,94 @@ def test_spark_submit_irds_config_job(tmp_path):
     t = pq.read_table(f"{out_dir}/queries_all").to_pandas().set_index("DOCNO")
     assert t.loc["q1", "text_raw"] == "the running cats"
     assert t.loc["q1", "text"] == "the run cat"
+
+
+def test_spark_submit_exper_job(tmp_path):
+    """scripts/exper_job.py end-to-end from the shipped zip: build index
+    → retrieve once to learn a real relevant doc → descriptor-driven
+    testOnly experiment (inline extrType, RankLib linear modelFinal) —
+    the run_one_experiment.sh stage order as ONE spark-submit launch."""
+    import glob
+    import sys as _sys
+
+    _sys.path.insert(0, ROOT)  # the TEST process may use the repo directly
+    from flexneuart_spark.io.ranklib import write_ranklib_linear
+
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "make_pyfiles.py")],
+        cwd=ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+
+    idx = str(tmp_path / "idx")
+    _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "build_index_job.py"),
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", idx,
+            "--num-shards", "4",
+            "--tokenizer", "whitespace",
+        ],
+        cwd=str(tmp_path),
+    )
+    qfile = tmp_path / "queries.jsonl"
+    qfile.write_text('{"query_id": "q1", "text": "the data of a system"}\n')
+    probe_run = str(tmp_path / "probe_run")
+    _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "query_job.py"),
+            "--index", idx, "--queries", str(qfile),
+            "--output", probe_run, "--k", "3", "--tokenizer", "whitespace",
+        ],
+        cwd=str(tmp_path),
+    )
+    raw = "".join(
+        open(p).read() for p in sorted(glob.glob(os.path.join(probe_run, "part-*")))
+    )
+    top_doc = [ln.split() for ln in raw.splitlines() if ln][0][2]
+
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text(f"q1 0 {top_doc} 1\n")
+    model = tmp_path / "lin.model"
+    write_ranklib_linear([1.0], str(model))
+    desc = tmp_path / "exper.json"
+    desc.write_text(json.dumps({
+        "experSubdir": "e2e",
+        "extrType": json.dumps([
+            {"type": "TFIDFSimilarity", "params": {"similType": "bm25", "indexFieldName": "text"}},
+        ]),
+        "testOnly": 1,
+        "modelFinal": str(model),
+        "testCandQty": 5,
+    }))
+    out_dir = str(tmp_path / "results")
+    stdout = _run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_out,
+            os.path.join(ROOT, "scripts", "exper_job.py"),
+            "--descriptor", str(desc),
+            "--index", idx,
+            "--test-queries", str(qfile),
+            "--qrels", str(qrels),
+            "--output", out_dir,
+            "--tokenizer", "whitespace",
+        ],
+        cwd=str(tmp_path),
+    )
+    res = json.loads([ln for ln in stdout.splitlines() if ln.startswith("{")][-1])
+    # the 1-feature linear model IS BM25 -> fused == baseline, and the
+    # probed top doc is the one relevant doc, so MAP is exactly 1
+    assert res["metrics"]["map"] == pytest.approx(1.0)
+    assert res["baseline_metrics"]["map"] == pytest.approx(1.0)
+    fused = glob.glob(os.path.join(out_dir, "e2e", "**", "part-*"), recursive=True)
+    assert fused, "fused run not written under <out>/<experSubdir>"
