@@ -427,13 +427,27 @@ def run_experiment(
                 raise ValueError("descriptor uses Model1Similarity: pass tran=")
             conf["tran"] = tran
 
-    def _features_for(queries: list[tuple[str, str]], cand: DataFrame) -> DataFrame:
+    def _features_for(
+        queries: list[tuple[str, str]], cand: DataFrame, cand_k: int
+    ) -> DataFrame:
         frames = []
-        for field in dict.fromkeys(field_of):  # unique, insertion-ordered
+
+        def _split_conf(c):
             # PassRetrScore reads the candidate run itself — inject this
-            # split's cand (train and test runs differ)
+            # split's cand (train and test runs differ); RM3's internal
+            # pseudo-relevance pool defaults to the split's candidate
+            # depth so every candidate the model reranks is RM3-scored
+            # (the reference extractor scores the candidate list it is
+            # handed; an explicit descriptor cand_qty still wins)
+            if c["feature"] == "retr_score":
+                return dict(c, cand=cand)
+            if c["feature"] == "rm3" and "cand_qty" not in c:
+                return dict(c, cand_qty=cand_k)
+            return c
+
+        for field in dict.fromkeys(field_of):  # unique, insertion-ordered
             confs = [
-                dict(c, cand=cand) if c["feature"] == "retr_score" else c
+                _split_conf(c)
                 for c, cf in zip(feats_config, field_of)
                 if cf == field
             ]
@@ -474,7 +488,7 @@ def run_experiment(
             model = weights_for_features(mw, names)
     else:
         train_cand = searcher.search(train_queries, k=train_cand_qty)
-        train_feats = _features_for(train_queries, train_cand).join(
+        train_feats = _features_for(train_queries, train_cand, train_cand_qty).join(
             qrels.select("query_id", "doc_id", "grade"), ["query_id", "doc_id"], "left"
         ).fillna({"grade": 0})
         if use_lmart:
@@ -502,7 +516,7 @@ def run_experiment(
             )
 
     # ---- rerank the test candidates with the trained model ----
-    test_feats = _features_for(test_queries, test_cand)
+    test_feats = _features_for(test_queries, test_cand, test_cand_qty)
     if use_lmart:
         run = ensemble_rerank(test_feats, model, names, k=test_cand_qty)
     else:

@@ -437,6 +437,48 @@ def test_close_pair_feature_matches_bruteforce_all_pairs(spark):
             assert got[k] == pytest.approx(v, rel=1e-12), (ordered, k)
 
 
+def test_rm3_only_descriptor_covers_every_candidate(spark, tmp_path):
+    """A single-feature RM3 descriptor with testCandQty above RM3's
+    default internal pool (20): every candidate must stay in the fused
+    run (the candidate left-join 0-fill), AND get a real RM3 score (the
+    internal pool defaults to the split's candidate depth), not a zero
+    tail."""
+    from flexneuart_spark.index.builder import build_index
+    from flexneuart_spark.io.ranklib import write_ranklib_linear
+
+    n = 25
+    docs = [(f"d{i:02d}", "alpha " + " ".join(f"w{i}x{j}" for j in range(4 + i % 5)))
+            for i in range(n)]
+    docs += [("dz1", "unrelated beta content"), ("dz2", "more beta filler")]
+    corpus = spark.createDataFrame(docs, "doc_id string, content string")
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), num_shards=2,
+                      tokenizer="whitespace")
+    qrels = spark.createDataFrame(
+        [("q1", "d00", 1)], "query_id string, doc_id string, grade int"
+    )
+    model = tmp_path / "lin.model"
+    write_ranklib_linear([1.0], str(model))
+    desc = {
+        "experSubdir": "rm3_only",
+        "extrType": json.dumps([
+            {"type": "RM3Similarity",
+             "params": {"topDocQty": "3", "topTermQty": "5", "origWeight": "0.5"}},
+        ]),
+        "testOnly": 1,
+        "modelFinal": str(model),
+        "testCandQty": n,
+    }
+    res = E.run_experiment(
+        spark, desc, index=idx,
+        train_queries=[], test_queries=[("q1", "alpha")],
+        qrels=qrels, out_dir=str(tmp_path), tokenizer="whitespace",
+    )
+    rows = res["run"].collect()
+    assert len(rows) == n, f"candidates dropped from the fused run: {len(rows)}"
+    zero_tail = [r.doc_id for r in rows if r.score == 0.0]
+    assert not zero_tail, f"candidates outside the RM3 pool scored 0: {zero_tail}"
+
+
 def test_run_experiment_multi_field(spark, tmp_path):
     """Multi-field collection (the reference's one-forward-index-per-field
     layout): extractors route by indexFieldName, candidates retrieve from
