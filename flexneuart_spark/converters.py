@@ -560,8 +560,11 @@ def parse_yahoo_answers_record(rec_str: str) -> tuple:
             for item in nbest.iter("answer_item"):
                 raw = text_of(item)
                 # first match only: duplicate answers are common in the
-                # dumps and the best-answer grade must land on the first
-                if best_id < 0 and raw == best_raw:
+                # dumps and the best-answer grade must land on the first;
+                # no <bestanswer> tag means NO best answer — without the
+                # best_el guard an empty <answer_item/> would match the
+                # empty best_raw and steal MAX_RELEV_GRADE
+                if best_id < 0 and best_el is not None and raw == best_raw:
                     best_id = len(answers)
                 answers.append(remove_tags(raw))
         return (

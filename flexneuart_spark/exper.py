@@ -436,13 +436,23 @@ def run_experiment(
             # PassRetrScore reads the candidate run itself — inject this
             # split's cand (train and test runs differ); RM3's internal
             # pseudo-relevance pool defaults to the split's candidate
-            # depth so every candidate the model reranks is RM3-scored
-            # (the reference extractor scores the candidate list it is
-            # handed; an explicit descriptor cand_qty still wins)
+            # depth AND the candidate provider's k1/b, so its internal
+            # BM25 ranks like the provider and the pool covers every
+            # candidate the model reranks (the reference extractor
+            # scores the candidate list it is handed; explicit
+            # descriptor params still win). Residual divergence: an RM3
+            # extractor reading a different field than candFieldName
+            # ranks by that field's statistics, so provider-boundary
+            # candidates can still fall outside its pool (scored 0 by
+            # the candidate left-join, the extractor default).
             if c["feature"] == "retr_score":
                 return dict(c, cand=cand)
-            if c["feature"] == "rm3" and "cand_qty" not in c:
-                return dict(c, cand_qty=cand_k)
+            if c["feature"] == "rm3":
+                c = dict(c)
+                c.setdefault("cand_qty", cand_k)
+                c.setdefault("k1", k1)
+                c.setdefault("b", b)
+                return c
             return c
 
         for field in dict.fromkeys(field_of):  # unique, insertion-ordered

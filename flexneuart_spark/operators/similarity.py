@@ -361,16 +361,26 @@ def ivf_assign(
     identically (cos desc, cell asc) — equality is pytest-pinned."""
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn("nrm", _norm("v"))
     cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
-    if assign == "udf" and (cent_rows := cents.collect()):
-        probe = _probe_cells_udf(cent_rows, nprobe=nprobe)
-        return (
-            e.select(F.col(id_col), F.posexplode(probe("v")).alias("pos", "cell"))
-            .select(
-                id_col,
-                "cell",
-                (F.col("pos") + F.lit(1)).cast("int").alias("r"),
+    if assign == "udf":
+        cent_rows = cents.collect()
+        if not cent_rows:
+            # empty centroid table from empty INPUT is the legit empty
+            # result (lazy window form below); an explicitly-passed
+            # empty model over real data is an upstream bug (wrong or
+            # empty index path) and must fail loudly, not emit a
+            # silently empty assignment
+            if centroids is not None and not emb.isEmpty():
+                raise ValueError("ivf_assign: empty centroids for non-empty input")
+        else:
+            probe = _probe_cells_udf(cent_rows, nprobe=nprobe)
+            return (
+                e.select(F.col(id_col), F.posexplode(probe("v")).alias("pos", "cell"))
+                .select(
+                    id_col,
+                    "cell",
+                    (F.col("pos") + F.lit(1)).cast("int").alias("r"),
+                )
             )
-        )
     return _assign_cells_window(e, cents, id_col, nprobe)
 
 
@@ -598,9 +608,17 @@ def pq_encode(
         F.col(id_col),
         F.posexplode(F.array(*_sub_slices(vec_col, m, dsub))).alias("sub", "raw_sv"),
     ).withColumn("sv", F.transform("raw_sv", lambda x: x.cast("double")))
-    if assign == "udf" and (cb_rows := codebooks.collect()):
-        assign_udf = _nearest_code_udf(cb_rows)
-        return subs.select(id_col, "sub", assign_udf("sub", "sv").alias("code"))
+    if assign == "udf":
+        cb_rows = codebooks.collect()
+        if not cb_rows:
+            # codebooks are always caller-supplied here: empty model over
+            # real data = upstream bug (wrong/empty index path) — raise
+            # rather than emit a silently empty encoded index
+            if not emb.isEmpty():
+                raise ValueError("pq_encode: empty codebooks for non-empty input")
+        else:
+            assign_udf = _nearest_code_udf(cb_rows)
+            return subs.select(id_col, "sub", assign_udf("sub", "sv").alias("code"))
     return _assign_codes_window(subs, codebooks, id_col).select(id_col, "sub", "code")
 
 

@@ -28,8 +28,12 @@ import sys
 
 
 def _read_queries(spark, path: str) -> list[tuple[str, str]]:
-    if path.endswith(".jsonl") or path.endswith(".json"):
+    if path.endswith(".jsonl"):
         qdf = spark.read.json(path)
+    elif path.endswith(".json"):
+        # a .json file is typically ONE document (array or object), not
+        # line-delimited — multiLine parses both; .jsonl stays line mode
+        qdf = spark.read.option("multiLine", True).json(path)
     else:
         qdf = spark.read.parquet(path)
     return [(r.query_id, r.text) for r in qdf.select("query_id", "text").collect()]
@@ -66,6 +70,15 @@ def main() -> None:
 
     from flexneuart_spark.exper import run_experiment
     from flexneuart_spark.io.trec import read_qrels
+
+    # validate BEFORE any Spark work: a training descriptor without
+    # training queries would otherwise fail deep inside the trainer
+    with open(args.descriptor) as fh:
+        desc_head = json.load(fh)
+    if isinstance(desc_head, list):
+        desc_head = desc_head[0]
+    if not int(desc_head.get("testOnly", 0)) and not args.train_queries:
+        raise SystemExit("descriptor is a training run (no testOnly=1): pass --train-queries")
 
     spark = SparkSession.builder.appName("flexneuart_exper").getOrCreate()
 

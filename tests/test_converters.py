@@ -268,6 +268,24 @@ def test_yahoo_duplicate_best_answer_grades_first_match(spark, tmp_path):
     assert qrels[("q1", "q1-2")] == 3
 
 
+def test_yahoo_no_bestanswer_empty_item_not_best(spark, tmp_path):
+    """No <bestanswer> tag means NO best answer: an empty <answer_item/>
+    must not match the empty best_raw and steal MAX_RELEV_GRADE."""
+    raw = """<document>
+<uri>q1</uri>
+<subject>s</subject>
+<nbestanswers>
+<answer_item></answer_item>
+<answer_item>real</answer_item>
+</nbestanswers>
+</document>
+"""
+    p = tmp_path / "nb.xml"
+    p.write_text(raw)
+    row = C.read_yahoo_answers(spark, str(p)).collect()[0]
+    assert row.best_answer_id == -1
+
+
 def test_yahoo_questions_answers_qrels_match_reference(spark, tmp_path):
     p = tmp_path / "ya.xml"
     p.write_text(YA_RAW)

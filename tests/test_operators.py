@@ -619,6 +619,15 @@ def test_ann_udf_path_empty_input_is_lazy_empty(spark):
     cb = similarity.pq_train(empty, m=2, n_codes=4, n_iter=2, assign="udf")
     assert cb.count() == 0
     assert similarity.pq_encode(empty, cb, m=2, assign="udf").count() == 0
+    # ...but an EMPTY MODEL over real data is an upstream bug (wrong or
+    # empty index path) and must fail loudly, not silently encode nothing
+    one = spark.createDataFrame([(0, [0.1, 0.2])], "vec_id long, embedding array<double>")
+    empty_cb = spark.createDataFrame([], "sub int, code long, cw array<double>")
+    with pytest.raises(ValueError, match="empty codebooks"):
+        similarity.pq_encode(one, empty_cb, m=2, assign="udf")
+    empty_cents = spark.createDataFrame([], "cell long, cv array<double>, cn double")
+    with pytest.raises(ValueError, match="empty centroids"):
+        similarity.ivf_assign(one, centroids=empty_cents, assign="udf")
 
 
 def test_ivfpq_search_external_queries(spark, emb, tmp_path):
