@@ -535,8 +535,12 @@ def parse_yahoo_answers_record(rec_str: str) -> tuple:
     best_answer_id, answers, parse_error), mirroring
     ``proc_yahoo_answers_record`` (formats.py:30-70): uri/subject
     required, content/bestanswer optional, ``best_answer_id`` = index of
-    the first ``answer_item`` whose RAW text equals ``bestanswer``
-    (compared before tag removal), else -1; subject/content/answers get
+    the LAST ``answer_item`` whose RAW text equals ``bestanswer``
+    (compared before tag removal; the reference loop re-assigns on every
+    match, formats.py:63-66), else -1. Two reference quirks pinned by
+    tests rather than "fixed": duplicate answers leave the grade-4 row
+    on the last duplicate, and a missing ``<bestanswer>`` (→ '') matches
+    an EMPTY ``answer_item``. subject/content/answers get
     ``remove_tags``. Delta vs the reference: ElementTree instead of
     BeautifulSoup-lxml, with bare ``&`` pre-escaped — strictly-broken
     markup becomes a ``parse_error`` row rather than a lenient guess."""
@@ -559,12 +563,11 @@ def parse_yahoo_answers_record(rec_str: str) -> tuple:
         if nbest is not None:
             for item in nbest.iter("answer_item"):
                 raw = text_of(item)
-                # first match only: duplicate answers are common in the
-                # dumps and the best-answer grade must land on the first;
-                # no <bestanswer> tag means NO best answer — without the
-                # best_el guard an empty <answer_item/> would match the
-                # empty best_raw and steal MAX_RELEV_GRADE
-                if best_id < 0 and best_el is not None and raw == best_raw:
+                # reference parity (formats.py:63-66): re-assign on every
+                # match (LAST duplicate wins) and compare against '' when
+                # <bestanswer> is missing (an empty answer_item matches) —
+                # both quirks are pinned by tests
+                if raw == best_raw:
                     best_id = len(answers)
                 answers.append(remove_tags(raw))
         return (

@@ -244,9 +244,10 @@ def test_yahoo_parse_records(spark, tmp_path):
     assert len(errs) == 1 and "uri" in errs[0]["parse_error"]
 
 
-def test_yahoo_duplicate_best_answer_grades_first_match(spark, tmp_path):
-    """Duplicate answers are common in the dumps: the best-answer grade
-    must land on the FIRST answer_item matching <bestanswer>."""
+def test_yahoo_duplicate_best_answer_last_match_quirk(spark, tmp_path):
+    """Duplicate answers: the reference loop re-assigns best_answer_id on
+    EVERY match (formats.py:63-66), so the grade-4 row lands on the LAST
+    duplicate. Pinned as reference parity, not 'fixed'."""
     raw = """<document>
 <uri>q1</uri>
 <subject>dup</subject>
@@ -262,28 +263,10 @@ def test_yahoo_duplicate_best_answer_grades_first_match(spark, tmp_path):
     p.write_text(raw)
     parsed = C.read_yahoo_answers(spark, str(p))
     row = parsed.collect()[0]
-    assert row.best_answer_id == 0
+    assert row.best_answer_id == 2
     qrels = {(r.query_id, r.doc_id): r.grade for r in C.yahoo_answers_qrels(parsed).collect()}
-    assert qrels[("q1", "q1-0")] == 4  # MAX_RELEV_GRADE on the first match
-    assert qrels[("q1", "q1-2")] == 3
-
-
-def test_yahoo_no_bestanswer_empty_item_not_best(spark, tmp_path):
-    """No <bestanswer> tag means NO best answer: an empty <answer_item/>
-    must not match the empty best_raw and steal MAX_RELEV_GRADE."""
-    raw = """<document>
-<uri>q1</uri>
-<subject>s</subject>
-<nbestanswers>
-<answer_item></answer_item>
-<answer_item>real</answer_item>
-</nbestanswers>
-</document>
-"""
-    p = tmp_path / "nb.xml"
-    p.write_text(raw)
-    row = C.read_yahoo_answers(spark, str(p)).collect()[0]
-    assert row.best_answer_id == -1
+    assert qrels[("q1", "q1-2")] == 4  # MAX_RELEV_GRADE on the LAST match
+    assert qrels[("q1", "q1-0")] == 3
 
 
 def test_yahoo_questions_answers_qrels_match_reference(spark, tmp_path):
