@@ -547,6 +547,11 @@ def main() -> None:
             f.write(f"| {k} | {v} | {qreps[k]} |\n")
         f.write(
             "\nNotes on the scaling measurement:\n\n"
+            "- Absolute suite seconds also drift BETWEEN measurement windows:\n"
+            "  the identical headline-path code has measured 31-39 s across a\n"
+            "  day on this VM. Compare queries within one run (interleaved\n"
+            "  passes), and read scaling only from the paired ratios below —\n"
+            "  cross-run absolute deltas under ~25% are window noise, not code.\n"
             "- Both levels run the IDENTICAL job (same 128-shard plan, same input);\n"
             "  only the executor-thread count changes — the N vs 4N executor proxy\n"
             "  available in a single-VM sandbox. Each rep runs the two levels\n"
