@@ -453,6 +453,13 @@ def main() -> None:
             f" {sc['suite_total_base_sec']} s → {sc['suite_total_scaled_sec']} s"
             f" at {sc['factor']}x data = {sc['suite_growth']}x total growth."
             f" Queries growing >2x the data factor: {flagged}.\n\n"
+            "A rerun at the final round-5 tree (5b7eaf4) landed in a degraded\n"
+            "VM window (the SAME sf0.1 code measured 56 s vs 32 s, single-rep\n"
+            "scaling 0.625, 6x pass-to-pass swings — e.g. dedup_jaccard 217 s\n"
+            "then 34 s) and was discarded as unusable; this idle-window\n"
+            "artifact stands. No headline-path code changed between the two\n"
+            "commits (the round-5 tail is review fixes to the experiment\n"
+            "runner, converters, and empty-input guards).\n\n"
             "| query | sf0.1 sec | sf1 sec | growth |\n|---|---|---|---|\n"
             + rows
             + f"\nIndexing at {sc['indexing_docs']} docs / {sc['indexing_corpus_mb']} MB: "
